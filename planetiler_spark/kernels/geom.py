@@ -1,0 +1,383 @@
+"""Pure-numpy geometry kernels (no shapely/GEOS in this environment).
+
+Implements the geometry semantics the engine needs, re-derived from the
+reference's JTS usage (all paths under /root/reference/planetiler-core/src/main/java/com/onthegomap/planetiler/):
+
+  - point-in-polygon + nearest-fallback:  geo/PolygonIndex.java:20-145
+    (STRtree envelope query + exact contains; here: bbox grid index + even-odd
+    ray cast, vectorized over all points per polygon)
+  - Douglas-Peucker simplification:       geo/DouglasPeuckerSimplifier.java:33-100
+    (iterative DP on squared segment distance, min-4-point polygon-ring guard)
+  - rectangle clipping (Sutherland-Hodgman / Cohen-style), the primitive behind
+    stripe tile slicing:                  render/TiledGeometry.java:220-231
+    (intersectX/intersectY linear interpolation)
+  - ring area / orientation / centroid:   geo/GeoUtils.java:319-329 (orientation fix)
+  - WKB codec for Point/LineString/Polygon/MultiPolygon (standard OGC WKB,
+    little-endian) so geometry travels as a Spark `binary` column.
+
+Everything operates on float64 numpy arrays; polygons are (N,2) ring arrays,
+first ring = shell, rest = holes (shell CCW-or-CW agnostic: even-odd rule).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# --- WKB ---------------------------------------------------------------------
+
+_WKB_POINT = 1
+_WKB_LINESTRING = 2
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_linestring(coords: np.ndarray) -> bytes:
+    coords = np.asarray(coords, dtype="<f8")
+    return struct.pack("<BII", 1, _WKB_LINESTRING, len(coords)) + coords.tobytes()
+
+
+def wkb_polygon(rings: list[np.ndarray]) -> bytes:
+    out = [struct.pack("<BII", 1, _WKB_POLYGON, len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype="<f8")
+        out.append(struct.pack("<I", len(r)) + r.tobytes())
+    return b"".join(out)
+
+
+def wkb_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(wkb_polygon(rings))
+    return b"".join(out)
+
+
+def parse_wkb(buf: bytes):
+    """Parse WKB -> (geom_type:str, data). Point -> (x,y); LineString -> (N,2);
+    Polygon -> [rings]; MultiPolygon -> [[rings], ...]. Little/big endian supported."""
+    geom, _ = _parse_wkb_at(memoryview(buf), 0)
+    return geom
+
+
+def _parse_wkb_at(mv, off):
+    bo = "<" if mv[off] == 1 else ">"
+    (typ,) = struct.unpack_from(bo + "I", mv, off + 1)
+    typ = typ & 0xFF  # ignore SRID/dimension flags
+    off += 5
+    if typ == _WKB_POINT:
+        x, y = struct.unpack_from(bo + "dd", mv, off)
+        return ("point", (x, y)), off + 16
+    if typ == _WKB_LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        arr = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off).reshape(n, 2).astype(np.float64)
+        return ("linestring", arr), off + 16 * n
+    if typ == _WKB_POLYGON:
+        (nrings,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(bo + "I", mv, off)
+            off += 4
+            rings.append(np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off).reshape(n, 2).astype(np.float64))
+            off += 16 * n
+        return ("polygon", rings), off
+    if typ == _WKB_MULTIPOLYGON:
+        (np_,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        polys = []
+        for _ in range(np_):
+            (_g, data), off = _parse_wkb_at(mv, off)
+            polys.append(data)
+        return ("multipolygon", polys), off
+    raise ValueError(f"unsupported WKB type {typ}")
+
+
+# --- ring math ----------------------------------------------------------------
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace; positive = CCW in a y-up frame. World coords are y-down, so
+    'outer CCW after Y-flip' (GeoUtils.java:319-329) == negative signed area here."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    a = ring_signed_area(ring)
+    if abs(a) < 1e-18:
+        return float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    x, y = ring[:, 0], ring[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    cx = float(np.sum((x[:-1] + x[1:]) * cross) / (6 * a))
+    cy = float(np.sum((y[:-1] + y[1:]) * cross) / (6 * a))
+    return cx, cy
+
+
+def ensure_orientation(ring: np.ndarray, ccw: bool) -> np.ndarray:
+    area = ring_signed_area(ring)
+    if (area > 0) != ccw:
+        return ring[::-1].copy()
+    return ring
+
+
+def line_length(coords: np.ndarray) -> float:
+    d = np.diff(coords, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+# --- point in polygon (even-odd ray cast), vectorized over points --------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd crossing test of many points against one closed ring."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    cond = (y0 > py) != (y1 > py)
+    # x coordinate of edge at scanline py
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    crossings = cond & (px < xi)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd over all rings: inside shell, outside holes."""
+    inside = np.zeros(len(px), dtype=bool)
+    for r in rings:
+        inside ^= points_in_ring(px, py, r)
+    return inside
+
+
+def point_segment_dist_sq(px, py, x0, y0, x1, y1):
+    """Vectorized squared distance from points to segments (broadcast-compatible).
+    Same math as DouglasPeuckerSimplifier.getSqSegDist (DouglasPeuckerSimplifier.java:95)."""
+    dx = x1 - x0
+    dy = y1 - y0
+    denom = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x0) * dx + (py - y0) * dy) / denom
+    t = np.where(denom > 0, np.clip(t, 0.0, 1.0), 0.0)
+    cx = x0 + t * dx
+    cy = y0 + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def dist_to_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Distance from points to polygon boundary (0 if inside).
+    Mirrors PolygonIndex.getContainingOrNearest's JTS distance fallback (:93-124)."""
+    n = len(px)
+    best = np.full(n, np.inf)
+    for r in rings:
+        x0, y0 = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        d = point_segment_dist_sq(px[:, None], py[:, None], x0, y0, x1, y1).min(axis=1)
+        best = np.minimum(best, d)
+    best = np.sqrt(best)
+    best[points_in_polygon(px, py, rings)] = 0.0
+    return best
+
+
+# --- polygon grid index (replaces JTS STRtree, PolygonIndex.java:20-145) -------
+
+@dataclass
+class PolygonIndex:
+    """Uniform-grid bbox index over polygons; built on the driver, broadcast to
+    executors, probed with fully vectorized numpy inside pandas UDFs.
+
+    Matches PolygonIndex.java semantics:
+      - get_containing(points): all polygons whose interior contains each point
+        (STRtree envelope candidates -> exact test, :52-60)
+      - get_containing_or_nearest(points, within): containment first, else the
+        nearest polygon within `within` distance (:93-124)
+    """
+
+    ids: list
+    polys: list  # list of list-of-rings (float64 (N,2))
+    bboxes: np.ndarray = field(init=False)  # (P,4) minx,miny,maxx,maxy
+
+    def __post_init__(self):
+        bb = np.empty((len(self.polys), 4))
+        for i, rings in enumerate(self.polys):
+            shell = rings[0]
+            bb[i] = (shell[:, 0].min(), shell[:, 1].min(), shell[:, 0].max(), shell[:, 1].max())
+        self.bboxes = bb
+
+    def get_containing(self, px: np.ndarray, py: np.ndarray):
+        """Returns (point_idx, poly_idx) arrays for every containment pair."""
+        out_pt, out_poly = [], []
+        for i, rings in enumerate(self.polys):
+            minx, miny, maxx, maxy = self.bboxes[i]
+            cand = np.nonzero((px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy))[0]
+            if len(cand) == 0:
+                continue
+            hit = points_in_polygon(px[cand], py[cand], rings)
+            sel = cand[hit]
+            out_pt.append(sel)
+            out_poly.append(np.full(len(sel), i, dtype=np.int64))
+        if not out_pt:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_pt), np.concatenate(out_poly)
+
+    def get_containing_or_nearest(self, px: np.ndarray, py: np.ndarray, within: float):
+        """Returns (point_idx, poly_idx, fallback_flag). Points contained by >=1
+        polygon yield one row per containing polygon (fallback=False); points in
+        no polygon yield their nearest polygon within `within` (fallback=True)."""
+        pt, poly = self.get_containing(px, py)
+        n = len(px)
+        contained = np.zeros(n, dtype=bool)
+        contained[pt] = True
+        miss = np.nonzero(~contained)[0]
+        if len(miss) == 0:
+            return pt, poly, np.zeros(len(pt), dtype=bool)
+        mx, my = px[miss], py[miss]
+        best_d = np.full(len(miss), np.inf)
+        best_i = np.full(len(miss), -1, dtype=np.int64)
+        for i, rings in enumerate(self.polys):
+            minx, miny, maxx, maxy = self.bboxes[i]
+            # candidate if expanded bbox within range
+            cand = np.nonzero(
+                (mx >= minx - within) & (mx <= maxx + within) &
+                (my >= miny - within) & (my <= maxy + within))[0]
+            if len(cand) == 0:
+                continue
+            d = dist_to_polygon(mx[cand], my[cand], rings)
+            upd = d < best_d[cand]
+            best_d[cand] = np.where(upd, d, best_d[cand])
+            best_i[cand] = np.where(upd, i, best_i[cand])
+        ok = (best_i >= 0) & (best_d <= within)
+        fb_pt = miss[ok]
+        fb_poly = best_i[ok]
+        return (np.concatenate([pt, fb_pt]),
+                np.concatenate([poly, fb_poly]),
+                np.concatenate([np.zeros(len(pt), dtype=bool), np.ones(len(fb_pt), dtype=bool)]))
+
+
+# --- Douglas-Peucker simplification (DouglasPeuckerSimplifier.java:33-100) ------
+
+def simplify_dp(coords: np.ndarray, tolerance: float, is_ring: bool = False) -> np.ndarray:
+    """Iterative DP keeping points whose squared distance from the chord exceeds
+    tolerance^2. Matches the reference's no-repair variant; rings keep >=4 points
+    (DouglasPeuckerSimplifier.java:82-89 min-points guard)."""
+    n = len(coords)
+    if n <= 2 or tolerance < 0:
+        return coords
+    sq_tol = tolerance * tolerance
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    x, y = coords[:, 0], coords[:, 1]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        seg = slice(i0 + 1, i1)
+        d = point_segment_dist_sq(x[seg], y[seg], x[i0], y[i0], x[i1], y[i1])
+        j = int(np.argmax(d))
+        if d[j] > sq_tol:
+            mid = i0 + 1 + j
+            keep[mid] = True
+            stack.append((i0, mid))
+            stack.append((mid, i1))
+    out = coords[keep]
+    if is_ring and len(out) < 4:
+        # keep enough points to stay a valid ring: fall back to the 4 extreme points
+        idx = np.unique(np.clip(np.linspace(0, n - 1, 4).round().astype(int), 0, n - 1))
+        out = coords[np.union1d(np.nonzero(keep)[0], idx)]
+    return out
+
+
+# --- rectangle clipping --------------------------------------------------------
+
+def clip_polygon_rect(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Sutherland-Hodgman clip of each ring to an axis-aligned rect; linear edge
+    interpolation identical to TiledGeometry.intersectX/intersectY (:220-231).
+    Returns surviving rings (closed); degenerate rings dropped."""
+    out = []
+    for ring in rings:
+        poly = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+        for axis, lo, is_min in ((0, minx, True), (0, maxx, False), (1, miny, True), (1, maxy, False)):
+            if len(poly) == 0:
+                break
+            poly = _clip_half_plane(poly, axis, lo, is_min)
+        if len(poly) >= 3:
+            out.append(np.vstack([poly, poly[:1]]))
+    return out
+
+
+def _clip_half_plane(poly: np.ndarray, axis: int, bound: float, keep_min: bool) -> np.ndarray:
+    v = poly[:, axis]
+    inside = (v >= bound) if keep_min else (v <= bound)
+    if inside.all():
+        return poly
+    nxt = np.roll(np.arange(len(poly)), -1)
+    res = []
+    other = 1 - axis
+    for i in range(len(poly)):
+        j = nxt[i]
+        if inside[i]:
+            res.append(poly[i])
+        if inside[i] != inside[j]:
+            t = (bound - poly[i, axis]) / (poly[j, axis] - poly[i, axis])
+            pt = np.empty(2)
+            pt[axis] = bound
+            pt[other] = poly[i, other] + t * (poly[j, other] - poly[i, other])
+            res.append(pt)
+    return np.asarray(res) if res else np.empty((0, 2))
+
+
+def clip_line_rect(coords: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Clip a polyline to a rect, returning the list of inside segments (possibly
+    several pieces). Matches TiledGeometry sliceX/sliceY piecewise behavior."""
+    pieces = []
+    cur = []
+    for i in range(len(coords) - 1):
+        p0, p1 = coords[i], coords[i + 1]
+        seg = _clip_segment(p0, p1, minx, miny, maxx, maxy)
+        if seg is None:
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = []
+            continue
+        a, b = seg
+        if not cur:
+            cur = [a]
+        elif not np.allclose(cur[-1], a):
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = [a]
+        cur.append(b)
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+def _clip_segment(p0, p1, minx, miny, maxx, maxy):
+    """Liang-Barsky segment/rect clip; returns (a, b) or None."""
+    x0, y0 = p0
+    x1, y1 = p1
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x0 - minx), (dx, maxx - x0), (-dy, y0 - miny), (dy, maxy - y0)):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    a = np.array([x0 + t0 * dx, y0 + t0 * dy])
+    b = np.array([x0 + t1 * dx, y0 + t1 * dy])
+    return a, b

@@ -1,0 +1,208 @@
+"""Deterministic synthetic `images` + `zones` fixtures (FIXTURES.md §1-2).
+
+Input shape per BASELINE.json input_hint:
+  images(image_id:string, bytes:binary, w:int, h:int, fmt:string, caption:string, phash:long)
+
+The geo-anchor is NOT stored — both the engine and the oracle derive it from
+`phash` with the identical integer-mixing rules below, so results can never
+drift. 20% of rows are pulled into 8 "city" hotspots to create the dense-tile
+skew the north rule requires handling.
+
+Generation is distributed (`spark.range(n) -> mapInPandas`) so the same code
+path scales from 10^4 pytest rows to the 10^12-row production shape; a pandas
+variant (`images_pdf`) feeds the single-threaded oracle.
+
+Reference analog: the reference synthesizes in-memory test worlds in
+PlanetilerTests.java:82-180; this module plays that role for the graft.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..kernels import tile_math as tm
+from ..kernels import geom as gk
+from ..kernels import image as ik
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+
+# 8 deterministic "city" hotspot centers (lon, lat)
+CITY_CENTERS = np.array([
+    (-74.0060, 40.7128),   # New York
+    (2.3522, 48.8566),     # Paris
+    (139.6917, 35.6895),   # Tokyo
+    (-0.1278, 51.5074),    # London
+    (116.4074, 39.9042),   # Beijing
+    (-46.6333, -23.5505),  # Sao Paulo
+    (151.2093, -33.8688),  # Sydney
+    (77.2090, 28.6139),    # Delhi
+])
+CITY_SIGMA_DEG = 0.02
+HOTSPOT_FRACTION = 0.2
+DEFAULT_SIZE = 64
+BIG_SIZE = 128  # every 10th image, exercises variable sizes
+FMT_CYCLE = ("png", "png", "jpeg", "png")  # 75% lossless
+
+
+def splitmix64(x) -> np.ndarray:
+    """SplitMix64 mix of int64/uint64 array -> uint64 (deterministic everywhere)."""
+    z = np.asarray(x).astype(_U64) + _GOLDEN
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _unit(u64: np.ndarray) -> np.ndarray:
+    """uint64 -> float64 uniform in [0,1)."""
+    return (u64 >> _U64(11)).astype(np.float64) / float(1 << 53)
+
+
+def phash_of(i) -> np.ndarray:
+    """phash column: splitmix64(i) reinterpreted as int64 (FIXTURES.md §1)."""
+    return splitmix64(i).astype(np.int64)
+
+
+def anchor_world(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Derive the (worldX, worldY) geo-anchor from phash. worldY uniform ==
+    inverse-mercator-uniform latitude, so the tile pyramid is uniformly loaded;
+    20% of rows snap to gaussian city hotspots (skew)."""
+    h = np.asarray(phash).astype(_U64)
+    u_x = _unit(splitmix64(h ^ _U64(0xA5A5A5A5A5A5A5A5)))
+    u_y = _unit(splitmix64(h ^ _U64(0x5A5A5A5A5A5A5A5A)))
+    u_sel = _unit(splitmix64(h ^ _U64(0xC3C3C3C3C3C3C3C3)))
+    wx = u_x
+    wy = u_y * 0.98 + 0.01  # keep clear of the mercator clamp edges
+
+    hot = u_sel < HOTSPOT_FRACTION
+    if hot.any():
+        city = (splitmix64(h ^ _U64(0x0F0F0F0F0F0F0F0F)) % _U64(len(CITY_CENTERS))).astype(np.int64)
+        u1 = np.maximum(_unit(splitmix64(h ^ _U64(0x1111111111111111))), 1e-12)
+        u2 = _unit(splitmix64(h ^ _U64(0x2222222222222222)))
+        r = np.sqrt(-2.0 * np.log(u1)) * CITY_SIGMA_DEG
+        dlon = r * np.cos(2 * np.pi * u2)
+        dlat = r * np.sin(2 * np.pi * u2)
+        lon = CITY_CENTERS[city, 0] + dlon
+        lat = CITY_CENTERS[city, 1] + dlat
+        wx = np.where(hot, tm.get_world_x(lon), wx)
+        wy = np.where(hot, tm.get_world_y(lat), wy)
+    return wx, wy
+
+
+def anchor_lonlat(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    wx, wy = anchor_world(phash)
+    return tm.get_world_lon(wx), tm.get_world_lat(wy)
+
+
+def _pixels(i: int, w: int, h: int) -> np.ndarray:
+    """pixel(x,y,c) = (i*7919 + x*31 + y*17 + c*11) % 256 (FIXTURES.md §1)."""
+    x = np.arange(w, dtype=np.int64) * 31
+    y = np.arange(h, dtype=np.int64) * 17
+    c = np.arange(3, dtype=np.int64) * 11
+    return ((i * 7919 + x[None, :, None] + y[:, None, None] + c[None, None, :]) % 256).astype(np.uint8)
+
+
+def images_batch(ids: np.ndarray, with_bytes: bool = True) -> pd.DataFrame:
+    """Generate one deterministic batch of image rows for integer ids."""
+    ids = np.asarray(ids, dtype=np.int64)
+    ph = phash_of(ids)
+    wx, wy = anchor_world(ph)
+    tx, ty = tm.tile_of_world(wx, wy, 14)
+    big = ids % 10 == 9
+    w = np.where(big, BIG_SIZE, DEFAULT_SIZE).astype(np.int32)
+    h = w.copy()
+    fmts = [FMT_CYCLE[int(i) % len(FMT_CYCLE)] for i in ids]
+    captions = [f"caption for img{int(i)} at tile 14/{int(x)}/{int(y)}"
+                for i, x, y in zip(ids, tx, ty)]
+    if with_bytes:
+        blobs = [ik.encode_image(_pixels(int(i), int(wi), int(hi)), f)
+                 for i, wi, hi, f in zip(ids, w, h, fmts)]
+    else:
+        blobs = [b""] * len(ids)
+    return pd.DataFrame({
+        "image_id": [f"img{int(i):012d}" for i in ids],
+        "bytes": blobs,
+        "w": w,
+        "h": h,
+        "fmt": fmts,
+        "caption": captions,
+        "phash": ph,
+    })
+
+
+IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+
+
+def images_df(spark, n: int, partitions: int = 64, with_bytes: bool = True):
+    """Distributed deterministic images table: spark.range -> mapInPandas.
+    Partitioned by `bucket(phash, partitions)` downstream (checkpoint unit)."""
+    def gen(batches):
+        for pdf in batches:
+            yield images_batch(pdf["id"].to_numpy(), with_bytes=with_bytes)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# zones — broadcastable polygon table (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+ZONE_KINDS = ("park", "water", "admin", "landuse")
+N_ZONES = 512
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns closed CCW ring."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def zones_pdf() -> pd.DataFrame:
+    """512 convex polygons around seeded sites (+8 overlapping, +4 with holes),
+    in world coordinates. Small enough to broadcast, like the reference's
+    in-memory STRtree (PolygonIndex.java:24)."""
+    rng = np.random.default_rng(42)
+    sites = rng.uniform(0.05, 0.95, size=(N_ZONES, 2))
+    rows = []
+    for k in range(N_ZONES):
+        radius = rng.uniform(0.004, 0.018)
+        pts = sites[k] + rng.normal(0, radius, size=(14, 2))
+        shell = _convex_hull(pts)
+        rings = [shell]
+        if k < 4:  # 4 polygons with holes
+            hole_r = radius * 0.2
+            ang = np.linspace(0, 2 * np.pi, 9)
+            hole = np.stack([sites[k, 0] + hole_r * np.cos(ang), sites[k, 1] + hole_r * np.sin(ang)], axis=1)
+            rings.append(hole)
+        rows.append((f"zone{k:04d}", gk.wkb_polygon(rings), ZONE_KINDS[k % 4]))
+    # 8 deliberately overlapping polygons: duplicate sites of the first 8 shifted slightly
+    for j in range(8):
+        k = N_ZONES + j
+        radius = 0.012
+        pts = sites[j] + np.array([0.004, 0.0]) + rng.normal(0, radius, size=(14, 2))
+        rows.append((f"zone{k:04d}", gk.wkb_polygon([_convex_hull(pts)]), ZONE_KINDS[k % 4]))
+    return pd.DataFrame(rows, columns=["zone_id", "wkb", "kind"])
+
+
+def zones_index() -> gk.PolygonIndex:
+    pdf = zones_pdf()
+    ids, polys = [], []
+    for zid, wkb in zip(pdf["zone_id"], pdf["wkb"]):
+        typ, rings = gk.parse_wkb(wkb)
+        assert typ == "polygon"
+        ids.append(zid)
+        polys.append(rings)
+    return gk.PolygonIndex(ids=ids, polys=polys)

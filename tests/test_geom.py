@@ -1,0 +1,148 @@
+"""Geometry kernel tests — semantics mirror the reference's JTS-based operators
+(PolygonIndexTest, DouglasPeuckerSimplifierTest, TiledGeometryTest patterns)."""
+
+import numpy as np
+import pytest
+
+from planetiler_spark.kernels import geom as g
+
+
+def square(cx=0.0, cy=0.0, r=1.0):
+    return np.array([[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r], [cx - r, cy + r], [cx - r, cy - r]])
+
+
+# --- WKB round trip ---
+
+def test_wkb_point_roundtrip():
+    typ, (x, y) = g.parse_wkb(g.wkb_point(1.5, -2.25))
+    assert typ == "point" and (x, y) == (1.5, -2.25)
+
+
+def test_wkb_linestring_roundtrip():
+    coords = np.array([[0.0, 0.0], [1.0, 2.0], [3.0, -4.0]])
+    typ, arr = g.parse_wkb(g.wkb_linestring(coords))
+    assert typ == "linestring"
+    np.testing.assert_array_equal(arr, coords)
+
+
+def test_wkb_polygon_roundtrip():
+    shell = square(r=2.0)
+    hole = square(r=0.5)
+    typ, rings = g.parse_wkb(g.wkb_polygon([shell, hole]))
+    assert typ == "polygon" and len(rings) == 2
+    np.testing.assert_array_equal(rings[0], shell)
+    np.testing.assert_array_equal(rings[1], hole)
+
+
+def test_wkb_multipolygon_roundtrip():
+    p1 = [square(0, 0, 1)]
+    p2 = [square(5, 5, 2), square(5, 5, 0.5)]
+    typ, polys = g.parse_wkb(g.wkb_multipolygon([p1, p2]))
+    assert typ == "multipolygon" and len(polys) == 2
+    assert len(polys[1]) == 2
+    np.testing.assert_array_equal(polys[1][1], square(5, 5, 0.5))
+
+
+# --- PIP ---
+
+def test_points_in_polygon_with_hole():
+    rings = [square(r=2.0), square(r=0.5)]
+    px = np.array([0.0, 1.0, 3.0, 0.4])
+    py = np.array([0.0, 1.0, 0.0, 0.0])
+    # center is inside the hole -> outside; (1,1) inside; (3,0) outside; (0.4,0) in hole -> out
+    np.testing.assert_array_equal(g.points_in_polygon(px, py, rings), [False, True, False, False])
+
+
+def test_polygon_index_containing_overlap():
+    # two overlapping squares — points in the overlap match both (PolygonIndex.getContaining :52)
+    idx = g.PolygonIndex(ids=["a", "b"], polys=[[square(0, 0, 1)], [square(1, 0, 1)]])
+    pt, poly = idx.get_containing(np.array([0.5, -0.5, 1.5, 5.0]), np.array([0.0, 0.0, 0.0, 0.0]))
+    pairs = sorted(zip(pt.tolist(), poly.tolist()))
+    assert pairs == [(0, 0), (0, 1), (1, 0), (2, 1)]
+
+
+def test_polygon_index_nearest_fallback():
+    # PolygonIndex.getContainingOrNearest :93-124 — miss falls back to nearest within range
+    idx = g.PolygonIndex(ids=["a"], polys=[[square(0, 0, 1)]])
+    pt, poly, fb = idx.get_containing_or_nearest(np.array([0.0, 1.5, 9.0]), np.array([0.0, 0.0, 0.0]), within=1.0)
+    rows = sorted(zip(pt.tolist(), poly.tolist(), fb.tolist()))
+    assert rows == [(0, 0, False), (1, 0, True)]  # 9.0 beyond `within` -> dropped
+
+
+def test_dist_to_polygon():
+    d = g.dist_to_polygon(np.array([0.0, 2.0, 0.0]), np.array([0.0, 0.0, 3.0]), [square(r=1.0)])
+    np.testing.assert_allclose(d, [0.0, 1.0, 2.0])
+
+
+# --- DP simplify ---
+
+def test_simplify_dp_collinear():
+    line = np.array([[0.0, 0], [1, 0.001], [2, 0], [3, -0.001], [4, 0]])
+    out = g.simplify_dp(line, 0.01)
+    np.testing.assert_array_equal(out, [[0, 0], [4, 0]])
+
+
+def test_simplify_dp_keeps_spike():
+    line = np.array([[0.0, 0], [1, 0], [2, 5], [3, 0], [4, 0]])
+    out = g.simplify_dp(line, 0.5)
+    assert any((out == [2, 5]).all(axis=1))
+
+
+def test_simplify_ring_min_points():
+    ring = square(r=1.0)
+    out = g.simplify_dp(ring, 100.0, is_ring=True)  # huge tolerance would collapse it
+    assert len(out) >= 4  # DouglasPeuckerSimplifier.java:82-89 guard
+
+
+# --- orientation / area / centroid ---
+
+def test_ring_area_and_orientation():
+    ccw = square(r=1.0)  # this winding is CCW in y-up
+    assert g.ring_signed_area(ccw) == pytest.approx(4.0)
+    cw = ccw[::-1]
+    assert g.ring_signed_area(cw) == pytest.approx(-4.0)
+    assert g.ring_signed_area(g.ensure_orientation(cw, ccw=True)) > 0
+
+
+def test_ring_centroid():
+    cx, cy = g.ring_centroid(square(3, -2, 1))
+    assert (cx, cy) == (pytest.approx(3.0), pytest.approx(-2.0))
+
+
+# --- clipping ---
+
+def test_clip_polygon_rect_partial():
+    rings = g.clip_polygon_rect([square(0, 0, 2)], 0, 0, 10, 10)
+    assert len(rings) == 1
+    r = rings[0]
+    assert r[:, 0].min() == 0 and r[:, 1].min() == 0
+    assert r[:, 0].max() == 2 and r[:, 1].max() == 2
+    # area of the surviving quadrant
+    assert abs(g.ring_signed_area(r)) == pytest.approx(4.0)
+
+
+def test_clip_polygon_rect_outside():
+    assert g.clip_polygon_rect([square(10, 10, 1)], 0, 0, 5, 5) == []
+
+
+def test_clip_polygon_rect_covering():
+    # rect entirely inside the polygon -> full rect survives
+    rings = g.clip_polygon_rect([square(0, 0, 100)], -1, -1, 1, 1)
+    assert len(rings) == 1
+    assert abs(g.ring_signed_area(rings[0])) == pytest.approx(4.0)
+
+
+def test_clip_line_pieces():
+    # zigzag crossing the box twice -> two pieces (TiledGeometry slice behavior)
+    line = np.array([[-2.0, 0.5], [2.0, 0.5], [2.0, 3.0], [-2.0, 3.0], [-2.0, 0.8], [2.0, 0.8]])
+    pieces = g.clip_line_rect(line, 0, 0, 1, 1)
+    assert len(pieces) == 2
+    for p in pieces:
+        assert (p[:, 0] >= 0).all() and (p[:, 0] <= 1).all()
+
+
+def test_clip_line_fully_inside():
+    line = np.array([[0.1, 0.1], [0.9, 0.9]])
+    pieces = g.clip_line_rect(line, 0, 0, 1, 1)
+    assert len(pieces) == 1
+    np.testing.assert_allclose(pieces[0], line)
