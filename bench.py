@@ -1,0 +1,96 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec}, "sf",
+plus derived throughputs}.
+
+Each query is fully materialized through the noop sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # tiling core (tiles/sec numerator)
+    "tile_assign_z14",
+    "tile_pyramid_counts",
+    "filled_tile_runs",
+    "hilbert_order",
+    # spatial joins (join rows/sec)
+    "pip_zones_overlap",
+    "pip_nearest_fallback",
+    "knn_bruteforce",
+    "knn_grid",
+    # group-by-tile semantics
+    "label_grid_topk",
+    "sort_key_roundtrip",
+    "tile_content_dedup",
+    # relational + training-data ops
+    "q1_pricing_summary",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "simhash16",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("/")[-1]
+
+    from pyspark.sql import SparkSession
+    from planetiler_spark.plans import queries as Q
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("planetiler_spark_bench")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        df = fn(spark, sf_dir)  # build plan (excluded from timing: driver-side only)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # throughput numerators (computed once, not timed):
+    # tiles written by the pyramid (z0..14 distinct tiles) and PIP join rows
+    from pyspark.sql import functions as F
+    n_tiles = (Q.tile_pyramid_counts(spark, sf_dir)
+               .agg(F.sum("n_tiles")).collect()[0][0])
+    n_pip_rows = Q.pip_zones_overlap(spark, sf_dir).count()
+
+    total = round(sum(timings.values()), 3)
+    tiles_sec = round(n_tiles / timings["tile_pyramid_counts"], 1) if timings["tile_pyramid_counts"] else None
+    pip_rows_sec = round(n_pip_rows / timings["pip_zones_overlap"], 1) if timings["pip_zones_overlap"] else None
+    out = {
+        "metric": "total seconds for headline tiling+join+dedup queries (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "tiles_per_sec": tiles_sec,
+        "pip_join_rows_per_sec": pip_rows_sec,
+        "n_tiles": int(n_tiles),
+        "n_pip_rows": int(n_pip_rows),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

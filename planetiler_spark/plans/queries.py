@@ -1,0 +1,955 @@
+"""The engine's query surface: every operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) -> DataFrame callable plus (where SQL-expressible) a DuckDB
+oracle built from the SAME scalar fragments (functions/exprs.py), so results
+hash-match bit-for-bit across engines.
+
+Layout mirrors the reference's operator inventory:
+  - tiling / tile ids / pyramid     (TileCoord, FeatureRenderer per-zoom loop)
+  - spatial joins                   (PolygonIndex PIP + nearest, PointIndex kNN)
+  - group-by-tile semantics         (FeatureGroup label-grid limit, dedup, stats)
+  - sort-key packing                (FeatureGroup.encodeKey)
+  - archive compare                 (util/CompareArchives)
+  - relational anchors              (Catalyst-native agg/join/window paths)
+  - training-data ops               (dedup exact/minhash/jaccard/simhash,
+                                     embedding ANN, text quality/lang-id)
+
+Spark side is DataFrame API (Catalyst optimizes; scalar math via F.expr of the
+shared fragments); oracles are ANSI-ish DuckDB SQL with the same fragments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import exprs as X
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. tiling core — tile assignment & pyramid (TileCoord.java, FeatureRenderer.java:62-111)
+# ---------------------------------------------------------------------------
+
+_TID14 = X.tile_id_from_key("o_orderkey", 14)
+
+
+@query(
+    "tile_assign_z14",
+    f"""
+    SELECT {_TID14} AS tile_id,
+           count(*) AS n_features,
+           min(o_orderkey) AS first_key
+    FROM orders GROUP BY 1
+    """,
+)
+def tile_assign_z14(spark, sf_dir):
+    """Point -> containing z14 tile (TileCoord.aroundLngLat:77-82), grouped per
+    tile — the minimal map->group-by-tile slice. Pure JVM column math: Catalyst
+    whole-stage-codegens the LCG + floor, no Python in the hot path."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .select(F.expr(_TID14).alias("tile_id"), "o_orderkey")
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_features"), F.min("o_orderkey").alias("first_key"))
+    )
+
+
+_WXO, _WYO = X.world_x("o_orderkey"), X.world_y("o_orderkey")
+_TIDZ = X.tile_id(X.tile_x("wx", "zoom"), X.tile_y("wy", "zoom"), "zoom")
+
+
+@query(
+    "tile_pyramid_counts",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey, {_WXO} AS wx, {_WYO} AS wy FROM orders
+    ), exploded AS (
+      SELECT z.zoom AS zoom, {_TIDZ} AS tile_id
+      FROM pts CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS zoom) z
+    ), per_tile AS (
+      SELECT zoom, tile_id, count(*) AS n FROM exploded GROUP BY 1, 2
+    )
+    SELECT zoom, CAST(sum(n) AS BIGINT) AS n_features, count(*) AS n_tiles,
+           CAST(max(n) AS BIGINT) AS max_per_tile
+    FROM per_tile GROUP BY zoom
+    """,
+)
+def tile_pyramid_counts(spark, sf_dir):
+    """The per-zoom render loop (FeatureRenderer.java:62-111): explode each
+    feature across zooms 0..14, assign tiles, two-stage aggregate. The zoom
+    explode is `explode(sequence(...))` — rows fan out 15x before the shuffle,
+    exactly like the reference's per-zoom rendering."""
+    pts = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_WXO).alias("wx"), F.expr(_WYO).alias("wy"))
+    exploded = pts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(14))).alias("zoom"), "wx", "wy"
+    ).select("zoom", F.expr(_TIDZ).alias("tile_id"))
+    per_tile = exploded.groupBy("zoom", "tile_id").agg(F.count("*").alias("n"))
+    return per_tile.groupBy("zoom").agg(
+        F.sum("n").cast("long").alias("n_features"),
+        F.count("*").alias("n_tiles"),
+        F.max("n").cast("long").alias("max_per_tile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. spatial joins (geo/PolygonIndex.java:20-145, geo/PointIndex.java:22-106)
+# ---------------------------------------------------------------------------
+
+# 8x8 grid of rect zones, size 0.15 world units -> neighbors overlap (tests
+# getContaining multiplicity, PolygonIndex.java:52-60)
+_RECTS_OVERLAP = """
+  SELECT k AS zone_id,
+         (k % 8) * 0.125 AS minx,
+         (CAST(floor(k / 8) AS BIGINT) % 8) * 0.125 AS miny,
+         (k % 8) * 0.125 + 0.15 AS maxx,
+         (CAST(floor(k / 8) AS BIGINT) % 8) * 0.125 + 0.15 AS maxy
+  FROM (SELECT unnest(generate_series(0, 63)) AS k)
+"""
+
+
+@query(
+    "pip_zones_overlap",
+    f"""
+    WITH pts AS (SELECT o_orderkey, {_WXO} AS wx, {_WYO} AS wy FROM orders),
+    zones AS ({_RECTS_OVERLAP})
+    SELECT o_orderkey, zone_id
+    FROM pts JOIN zones
+      ON wx >= minx AND wx < maxx AND wy >= miny AND wy < maxy
+    """,
+)
+def pip_zones_overlap(spark, sf_dir):
+    """Point-in-polygon zone assignment with overlap multiplicity
+    (PolygonIndex.getContaining:52-60). The zone side is tiny -> broadcast
+    range join (the Spark analog of the reference's in-memory STRtree)."""
+    pts = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_WXO).alias("wx"), F.expr(_WYO).alias("wy"))
+    zones = _rect_zones(spark, 0.15)
+    cond = ((F.col("wx") >= F.col("minx")) & (F.col("wx") < F.col("maxx")) &
+            (F.col("wy") >= F.col("miny")) & (F.col("wy") < F.col("maxy")))
+    return pts.join(F.broadcast(zones), cond).select("o_orderkey", "zone_id")
+
+
+def _rect_zones(spark, size: float) -> DataFrame:
+    k = F.col("id")
+    row = F.floor(k / 8).cast("long") % 8
+    return spark.range(64).select(
+        k.alias("zone_id"),
+        ((k % 8) * 0.125).alias("minx"),
+        (row * 0.125).alias("miny"),
+        ((k % 8) * 0.125 + size).alias("maxx"),
+        (row * 0.125 + size).alias("maxy"),
+    )
+
+
+_RECTS_GAP = _RECTS_OVERLAP.replace("0.15", "0.10")
+
+# Distance RANKINGS must never compare floats computed by different engines:
+# DuckDB's C++ build may contract a*b+c into FMA while the JVM never does, so
+# near-tie distances flip order. All nearest/kNN ranking therefore uses EXACT
+# int64 squared distances on the raw LCG integer grid [0, 2^31-1)^2:
+# max 2*(2^31-2)^2 = 9.223372e18 < int64 max.
+_IXO, _IYO = X.lcg("o_orderkey", 2), X.lcg("o_orderkey", 3)
+# integer zone centers on the same 2^31 scale (0.125*2^31, 0.05*2^31 rounded)
+_CXI = "((zone_id % 8) * 268435456 + 107374182)"
+_CYI = "((CAST(floor(zone_id / 8) AS BIGINT) % 8) * 268435456 + 107374182)"
+_FB_WITHIN_I = "22597261382061025"  # (0.07 * 2^31)^2 = 150323855^2, precomputed (int literals overflow Spark's ANSI INT fold)
+
+
+@query(
+    "pip_nearest_fallback",
+    f"""
+    WITH pts AS (SELECT o_orderkey, {_WXO} AS wx, {_WYO} AS wy,
+                        {_IXO} AS ix, {_IYO} AS iy FROM orders),
+    zones AS ({_RECTS_GAP}),
+    contained AS (
+      SELECT o_orderkey, zone_id FROM pts JOIN zones
+        ON wx >= minx AND wx < maxx AND wy >= miny AND wy < maxy
+    ),
+    missed AS (
+      SELECT * FROM pts WHERE o_orderkey NOT IN (SELECT o_orderkey FROM contained)
+    ),
+    nearest AS (
+      SELECT o_orderkey, zc.zone_id AS zone_id,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY
+               (ix-cxi)*(ix-cxi) + (iy-cyi)*(iy-cyi), zc.zone_id) AS rn,
+             (ix-cxi)*(ix-cxi) + (iy-cyi)*(iy-cyi) AS d2i
+      FROM missed CROSS JOIN (SELECT zone_id, {_CXI} AS cxi, {_CYI} AS cyi FROM zones) zc
+    )
+    SELECT o_orderkey, zone_id, 0 AS fallback FROM contained
+    UNION ALL
+    SELECT o_orderkey, zone_id, 1 AS fallback FROM nearest
+    WHERE rn = 1 AND d2i <= {_FB_WITHIN_I}
+    """,
+)
+def pip_nearest_fallback(spark, sf_dir):
+    """Containment first; misses fall back to the nearest zone within a
+    threshold, flagged — PolygonIndex.getContainingOrNearest:93-124 semantics.
+    Zones are gapped (size 0.10 on a 0.125 grid) so ~36% of points exercise
+    the fallback path; points beyond `within` drop entirely. Nearest ranking
+    uses exact integer distances (see note above _IXO)."""
+    pts = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_WXO).alias("wx"), F.expr(_WYO).alias("wy"),
+        F.expr(_IXO).alias("ix"), F.expr(_IYO).alias("iy"))
+    zones = _rect_zones(spark, 0.10)
+    cond = ((F.col("wx") >= F.col("minx")) & (F.col("wx") < F.col("maxx")) &
+            (F.col("wy") >= F.col("miny")) & (F.col("wy") < F.col("maxy")))
+    contained = pts.join(F.broadcast(zones), cond).select("o_orderkey", "zone_id")
+    missed = pts.join(contained.select("o_orderkey"), "o_orderkey", "left_anti")
+    centers = zones.select("zone_id", F.expr(_CXI).alias("cxi"), F.expr(_CYI).alias("cyi"))
+    d2i = ((F.col("ix") - F.col("cxi")) * (F.col("ix") - F.col("cxi")) +
+           (F.col("iy") - F.col("cyi")) * (F.col("iy") - F.col("cyi")))
+    nearest = (
+        missed.crossJoin(F.broadcast(centers))
+        .withColumn("d2i", d2i)
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("o_orderkey").orderBy("d2i", "zone_id")))
+        .filter((F.col("rn") == 1) & (F.col("d2i") <= F.expr(_FB_WITHIN_I)))
+        .select("o_orderkey", "zone_id")
+    )
+    return (contained.withColumn("fallback", F.lit(0))
+            .unionByName(nearest.withColumn("fallback", F.lit(1))))
+
+
+_IXC, _IYC = X.lcg("c_custkey * 7 + 1", 2), X.lcg("c_custkey * 7 + 1", 3)
+_IXS, _IYS = X.lcg("s_suppkey * 13 + 5", 2), X.lcg("s_suppkey * 13 + 5", 3)
+
+_KNN_ORACLE = f"""
+    WITH c AS (SELECT c_custkey, {_IXC} AS ix, {_IYC} AS iy FROM customer),
+    s AS (SELECT s_suppkey, {_IXS} AS ix, {_IYS} AS iy FROM supplier),
+    pairs AS (
+      SELECT c_custkey, s_suppkey,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY
+               (c.ix-s.ix)*(c.ix-s.ix) + (c.iy-s.iy)*(c.iy-s.iy), s_suppkey) AS rank
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, CAST(rank AS BIGINT) AS rank FROM pairs WHERE rank <= 5
+"""
+
+
+@query("knn_bruteforce", _KNN_ORACLE)
+def knn_bruteforce(spark, sf_dir):
+    """k=5 nearest suppliers per customer, brute force: broadcast the small
+    side, window-rank by EXACT int64 squared distance (PointIndex.getNearest:70
+    semantics as the correctness baseline for the grid variant)."""
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_IXC).alias("cix"), F.expr(_IYC).alias("ciy"))
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr(_IXS).alias("six"), F.expr(_IYS).alias("siy"))
+    d2 = ((F.col("cix") - F.col("six")) * (F.col("cix") - F.col("six")) +
+          (F.col("ciy") - F.col("siy")) * (F.col("ciy") - F.col("siy")))
+    return (
+        c.crossJoin(F.broadcast(s))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(
+            W.partitionBy("c_custkey").orderBy("d2", "s_suppkey")))
+        .filter(F.col("rank") <= 5)
+        .select("c_custkey", "s_suppkey", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@query("knn_grid", _KNN_ORACLE)  # must equal brute force exactly
+def knn_grid(spark, sf_dir, k: int = 5, grid: int = 16):
+    """kNN via grid-cell ring expansion — the scale path (PointIndex.java:48-106
+    re-expressed as equi-joins on discretized cells, per the H3-ring-expansion
+    pattern in SURVEY.md §2.4). Probe cells at Chebyshev radius r; a neighbor
+    set is final only when the k-th distance <= r*cell (nothing outside the
+    ring can beat it); unfinished points escalate to the next ring. Verified
+    identical to knn_bruteforce by the shared oracle."""
+    cell_i = X.M31 // grid  # cell width on the integer grid (conservative floor)
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_IXC).alias("cix"), F.expr(_IYC).alias("ciy"))
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr(_IXS).alias("six"), F.expr(_IYS).alias("siy"))
+    c = (c.withColumn("cx", F.floor(F.col("cix") / (cell_i + 1)))
+         .withColumn("cy", F.floor(F.col("ciy") / (cell_i + 1))))
+    s = (s.withColumn("sx", F.floor(F.col("six") / (cell_i + 1)))
+         .withColumn("sy", F.floor(F.col("siy") / (cell_i + 1))))
+    d2 = ((F.col("cix") - F.col("six")) * (F.col("cix") - F.col("six")) +
+          (F.col("ciy") - F.col("siy")) * (F.col("ciy") - F.col("siy")))
+
+    def ring_candidates(points, r):
+        ring = ((F.col("sx").between(F.col("cx") - r, F.col("cx") + r)) &
+                (F.col("sy").between(F.col("cy") - r, F.col("cy") + r)))
+        return (points.join(F.broadcast(s), ring)
+                .withColumn("d2", d2)
+                .withColumn("rank", F.row_number().over(
+                    W.partitionBy("c_custkey").orderBy("d2", "s_suppkey")))
+                .filter(F.col("rank") <= k))
+
+    remaining = c
+    done_parts = []
+    for r in (2, 8):
+        topk = ring_candidates(remaining, r)
+        # a point's top-k is final only if its k-th distance cannot be beaten by
+        # anything outside the ring: min distance to an excluded cell is (r-1)*cell
+        # (conservative: probe point may sit at its own cell's edge).
+        bound = ((r - 1) * cell_i) ** 2
+        stats = topk.groupBy("c_custkey").agg(
+            F.count("*").alias("nk"), F.max("d2").alias("dk"))
+        safe = stats.filter((F.col("nk") >= k) & (F.col("dk") <= F.lit(bound))).select("c_custkey")
+        done_parts.append(topk.join(safe, "c_custkey", "left_semi"))
+        remaining = remaining.join(safe, "c_custkey", "left_anti")
+    # final escalation: full ring covers the grid -> exact by construction
+    done_parts.append(ring_candidates(remaining, grid))
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select("c_custkey", "s_suppkey", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# 3. group-by-tile semantics (collection/FeatureGroup.java)
+# ---------------------------------------------------------------------------
+
+_SORTK = f"({X.lcg('o_orderkey', 4)} % 1000)"
+
+
+@query(
+    "label_grid_topk",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             {X.label_grid_cell(f'({_WXO}) * 64')} AS gx,
+             {X.label_grid_cell(f'({_WYO}) * 64')} AS gy,
+             {_SORTK} AS sort_key
+      FROM orders
+    )
+    SELECT o_orderkey, gx, gy, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY gx, gy ORDER BY sort_key, o_orderkey) AS rn
+      FROM pts
+    ) WHERE rn <= 4
+    """,
+)
+def label_grid_topk(spark, sf_dir):
+    """Label-grid density thinning: keep first K=4 features per grid square in
+    sortKey order with full tie-breakers (FeatureGroup.TileFeatures.add:616-637,
+    grid id GeoUtils.labelGridId:422-427) — window row_number, Catalyst-native."""
+    pts = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(X.label_grid_cell(f"({_WXO}) * 64")).alias("gx"),
+        F.expr(X.label_grid_cell(f"({_WYO}) * 64")).alias("gy"),
+        F.expr(_SORTK).alias("sort_key"),
+    )
+    return (pts.withColumn("rn", F.row_number().over(
+        W.partitionBy("gx", "gy").orderBy("sort_key", "o_orderkey")))
+        .filter(F.col("rn") <= 4)
+        .select("o_orderkey", "gx", "gy", F.col("rn").cast("long").alias("rn")))
+
+
+_TILE10 = X.tile_id_from_key("l_orderkey", 10)
+_LAYER = "(l_linenumber % 7)"
+_SK = "((l_partkey % 4194304) - 2097152)"
+_HG = "(l_orderkey % 2)"
+_FKEY = X.sort_key_encode(_TILE10, _LAYER, _SK, _HG)
+
+
+@query(
+    "sort_key_roundtrip",
+    f"""
+    WITH enc AS (
+      SELECT l_orderkey, l_linenumber, {_FKEY} AS fkey,
+             {_TILE10} AS tile_in, {_LAYER} AS layer_in, {_SK} AS sk_in, {_HG} AS hg_in
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, fkey,
+           {X.sort_key_extract_tile('fkey')} AS tile_out,
+           {X.sort_key_extract_layer('fkey')} AS layer_out,
+           {X.sort_key_extract_sortkey('fkey')} AS sk_out,
+           (fkey % 2) AS hg_out,
+           CAST(tile_in = {X.sort_key_extract_tile('fkey')} AS BIGINT) AS tile_ok,
+           CAST(layer_in = {X.sort_key_extract_layer('fkey')} AS BIGINT) AS layer_ok,
+           CAST(sk_in = {X.sort_key_extract_sortkey('fkey')} AS BIGINT) AS sk_ok
+    FROM enc
+    """,
+)
+def sort_key_roundtrip(spark, sf_dir):
+    """The 64-bit feature key [tile:33][layer:8][sortKey:22][hasGroup:1]
+    (FeatureGroup.encodeKey:176-196) packed and unpacked in portable SQL
+    arithmetic; sorting this single long gives zoom-major tile order."""
+    li = tbl(spark, sf_dir, "lineitem")
+    enc = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(_FKEY).alias("fkey"),
+        F.expr(_TILE10).alias("tile_in"),
+        F.expr(_LAYER).alias("layer_in"),
+        F.expr(_SK).alias("sk_in"),
+        F.expr(_HG).alias("hg_in"),
+    )
+    return enc.select(
+        "l_orderkey", "l_linenumber", "fkey",
+        F.expr(X.sort_key_extract_tile("fkey")).alias("tile_out"),
+        F.expr(X.sort_key_extract_layer("fkey")).alias("layer_out"),
+        F.expr(X.sort_key_extract_sortkey("fkey")).alias("sk_out"),
+        F.expr("fkey % 2").alias("hg_out"),
+        F.expr(f"CAST(tile_in = {X.sort_key_extract_tile('fkey')} AS BIGINT)").alias("tile_ok"),
+        F.expr(f"CAST(layer_in = {X.sort_key_extract_layer('fkey')} AS BIGINT)").alias("layer_ok"),
+        F.expr(f"CAST(sk_in = {X.sort_key_extract_sortkey('fkey')} AS BIGINT)").alias("sk_ok"),
+    )
+
+
+_TILE6 = X.tile_id_from_key("o_orderkey", 6)
+
+
+@query(
+    "tile_content_dedup",
+    f"""
+    WITH per_tile AS (
+      SELECT {_TILE6} AS tile_id, count(*) AS n,
+             md5(CAST(count(*) AS VARCHAR)) AS content_hash
+      FROM orders GROUP BY 1
+    )
+    SELECT content_hash, count(*) AS n_tiles, CAST(sum(n) AS BIGINT) AS n_features
+    FROM per_tile GROUP BY content_hash
+    """,
+)
+def tile_content_dedup(spark, sf_dir):
+    """Content-hash tile dedup — the order-free replacement for the reference's
+    consecutive-identical-tile memoization (TileArchiveWriter.java:277-300,
+    FeatureGroup.hasSameContents:464-478): identical tile contents share one
+    stored blob (ocean tiles). Here content = hash of the tile's feature list."""
+    per_tile = (tbl(spark, sf_dir, "orders")
+                .select(F.expr(_TILE6).alias("tile_id"))
+                .groupBy("tile_id").agg(F.count("*").alias("n"))
+                .withColumn("content_hash", F.md5(F.col("n").cast("string"))))
+    return per_tile.groupBy("content_hash").agg(
+        F.count("*").alias("n_tiles"), F.sum("n").cast("long").alias("n_features"))
+
+
+_PXA, _PYA = X.world_x("p_partkey * 3 + 7"), X.world_y("p_partkey * 3 + 7")
+_SIZE = f"({X.lcg('p_partkey', 5)} / {X.M31}.0 * 0.05)"
+
+
+@query(
+    "filled_tile_runs",
+    f"""
+    WITH boxes AS (
+      SELECT p_partkey,
+             CAST(floor(({_PXA}) * 64) AS BIGINT) AS x0,
+             CAST(floor(({_PYA}) * 64) AS BIGINT) AS y0,
+             CAST(floor(least(({_PXA}) + ({_SIZE}), 0.999999) * 64) AS BIGINT) AS x1,
+             CAST(floor(least(({_PYA}) + ({_SIZE}), 0.999999) * 64) AS BIGINT) AS y1
+      FROM part
+    ), tiles AS (
+      SELECT p_partkey, x.x AS tx, y.y AS ty
+      FROM boxes,
+           LATERAL (SELECT unnest(generate_series(x0, x1)) AS x) x,
+           LATERAL (SELECT unnest(generate_series(y0, y1)) AS y) y
+    )
+    SELECT p_partkey, count(*) AS n_tiles,
+           min({X.tile_id('tx', 'ty', 6)}) AS first_tile,
+           max({X.tile_id('tx', 'ty', 6)}) AS last_tile
+    FROM tiles GROUP BY p_partkey
+    """,
+)
+def filled_tile_runs(spark, sf_dir):
+    """Filled-tile emission for polygon interiors: expand each bbox's covered
+    z6 tile range with sequence()+explode instead of materializing geometry —
+    FeatureRenderer.emitFilledTiles:290-315 + TiledGeometry run-length interior
+    (:84,:701) re-expressed as generate_series."""
+    boxes = tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(f"CAST(floor(({_PXA}) * 64) AS BIGINT)").alias("x0"),
+        F.expr(f"CAST(floor(({_PYA}) * 64) AS BIGINT)").alias("y0"),
+        F.expr(f"CAST(floor(least(({_PXA}) + ({_SIZE}), 0.999999) * 64) AS BIGINT)").alias("x1"),
+        F.expr(f"CAST(floor(least(({_PYA}) + ({_SIZE}), 0.999999) * 64) AS BIGINT)").alias("y1"),
+    )
+    tiles = (boxes
+             .select("p_partkey", F.explode(F.sequence("x0", "x1")).alias("tx"), "y0", "y1")
+             .select("p_partkey", "tx", F.explode(F.sequence("y0", "y1")).alias("ty")))
+    tid = X.tile_id("tx", "ty", 6)
+    return tiles.groupBy("p_partkey").agg(
+        F.count("*").alias("n_tiles"),
+        F.min(F.expr(tid)).alias("first_tile"),
+        F.max(F.expr(tid)).alias("last_tile"))
+
+
+_TILE8_O = X.tile_id_from_key("o_orderkey", 8)
+_TILE8_L = X.tile_id_from_key("l_orderkey", 8)
+
+
+@query(
+    "archive_compare",
+    f"""
+    WITH a AS (SELECT DISTINCT {_TILE8_O} AS tile_id FROM orders),
+    b AS (SELECT DISTINCT {_TILE8_L} AS tile_id FROM lineitem)
+    SELECT CASE WHEN a.tile_id IS NULL THEN 'only_right'
+                WHEN b.tile_id IS NULL THEN 'only_left'
+                ELSE 'match' END AS status,
+           count(*) AS n
+    FROM a FULL OUTER JOIN b ON a.tile_id = b.tile_id
+    GROUP BY 1
+    """,
+)
+def archive_compare(spark, sf_dir):
+    """Archive diff (util/CompareArchives.java:48): full-outer join two tile
+    sets, classify matches — the verification harness operator."""
+    a = (tbl(spark, sf_dir, "orders").select(F.expr(_TILE8_O).alias("tile_id")).distinct()
+         .withColumnRenamed("tile_id", "a_tile"))
+    b = (tbl(spark, sf_dir, "lineitem").select(F.expr(_TILE8_L).alias("tile_id")).distinct()
+         .withColumnRenamed("tile_id", "b_tile"))
+    joined = a.join(b, a.a_tile == b.b_tile, "full_outer")
+    return (joined.select(
+        F.when(F.col("a_tile").isNull(), "only_right")
+        .when(F.col("b_tile").isNull(), "only_left")
+        .otherwise("match").alias("status"))
+        .groupBy("status").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# 4. relational anchors — Catalyst-native agg/join/window paths.
+# All money math converts to scaled BIGINT per row (exprs.money_cents) so the
+# aggregation is exact integer arithmetic in both engines (no FP order drift).
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = X.money_cents("l_extendedprice * (1 - l_discount)")
+_CHARGE = X.money_cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000)
+_QTY = X.money_cents("l_quantity", 100)
+_PRICE = X.money_cents("l_extendedprice", 100)
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({_QTY}) AS BIGINT) AS sum_qty_c,
+           CAST(sum({_PRICE}) AS BIGINT) AS sum_base_c,
+           CAST(sum({_DISC_PRICE}) AS BIGINT) AS sum_disc_c,
+           CAST(sum({_CHARGE}) AS BIGINT) AS sum_charge_u,
+           count(*) AS n,
+           (CAST(sum({_QTY}) AS BIGINT) / 100.0) / count(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash aggregate.
+    Anchors the pure-Catalyst path (whole-stage codegen, partial aggregation)."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("CAST('1998-09-02' AS TIMESTAMP)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr(_QTY)).cast("long").alias("sum_qty_c"),
+        F.sum(F.expr(_PRICE)).cast("long").alias("sum_base_c"),
+        F.sum(F.expr(_DISC_PRICE)).cast("long").alias("sum_disc_c"),
+        F.sum(F.expr(_CHARGE)).cast("long").alias("sum_charge_u"),
+        F.count("*").alias("n"),
+        (F.sum(F.expr(_QTY)).cast("long") / 100.0 / F.count("*")).alias("avg_qty"),
+    )
+
+
+@query(
+    "q3_top_orders",
+    f"""
+    SELECT o_orderkey,
+           CAST(sum({_DISC_PRICE}) AS BIGINT) AS revenue_c,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS orderdate
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+    GROUP BY o_orderkey
+    ORDER BY revenue_c DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    """Join + aggregate + deterministic top-N (shipping-priority shape).
+    Catalyst picks broadcast for the filtered orders side at small SF and
+    sort-merge at scale; the ORDER BY ... LIMIT is a TakeOrderedAndProject."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("CAST('1997-01-01' AS TIMESTAMP)"))
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("long").alias("revenue_c"),
+             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue_c"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session breaks via lag window + conditional
+    sum. (The reference is batch-only, SURVEY §2.10 — this is the events-table
+    analog of its per-source sequential processing.)"""
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1)
+        .otherwise(0))
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_new").cast("long").alias("n_sessions"))
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Dynamic JSON property extraction + aggregate — the reference's forgiving
+    Struct coercions (reader/Struct.java:37-52, `get` parses JSON) expressed as
+    get_json_object + cast."""
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"))
+
+
+# ---------------------------------------------------------------------------
+# 5. training-data ops: dedup / text analysis / embeddings
+# (beyond the reference — first-class for a 100TB training-data pipeline)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS winner
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, deterministic winner = min id.
+    At scale this is one shuffle on the hash; Catalyst partial-aggregates."""
+    return (tbl(spark, sf_dir, "documents")
+            .select(F.md5("text").alias("text_hash"), "doc_id")
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("winner")))
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (casefold + strip non-alnum + md5)."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("fp"))
+
+
+@query(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting + stopword occurrence (quality-scoring primitives):
+    whitespace tokens, regex word tokens, and occurrence counting via the
+    length-difference trick (all portable exact integer math)."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("n_chars_nospace"),
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5)
+        .cast("long").alias("n_the"))
+
+
+@query(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM t GROUP BY source
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Per-source quality aggregates (length/token distributions) — the
+    filter-stats stage of a training-data pipeline."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        "n_chars")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.when(F.col("n_tokens") >= 40, 1).otherwise(0)).cast("long").alias("n_long"))
+
+
+@query(
+    "lang_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stats(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"))
+
+
+# shingle fragment shared by jaccard + minhash: 20-char shingles, stride 4
+_SHINGLES_DUCK = """
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 20) AS s
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(n_chars - 19, 1), 4)) AS i) t
+  WHERE n_chars >= 20
+"""
+
+
+def _shingles_spark(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").filter(F.col("n_chars") >= 20)
+    return (d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("n_chars") - 19, F.lit(1)), F.lit(4))).alias("i"),
+        "text")
+        .select("doc_id", F.expr("substr(text, CAST(i AS INT), 20)").alias("s"))
+        .distinct())
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(i * 10000.0 / (sa.n + sb.n - i)) AS BIGINT) AS jacc_bp
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 10000.0 / (sa.n + sb.n - i) >= 2000
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection by character-shingle Jaccard: shingle -> self-join on
+    shared shingles -> |A∩B| / |A∪B| >= 0.2. The shingle join is the classic
+    candidate generator; at 100TB the minhash-LSH variant below bounds it."""
+    sh = _shingles_spark(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("i")))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("i") * 10000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= 2000)
+            .select("doc_a", "doc_b", F.floor(jac).cast("long").alias("jacc_bp")))
+
+
+_MINHASHES = ", ".join(
+    f"min(md5(concat('{seed}', s))) AS h{seed}" for seed in range(1, 9))
+_BANDS = ["concat(h1, h2)", "concat(h3, h4)", "concat(h5, h6)", "concat(h7, h8)"]
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    mh AS (SELECT doc_id, {_MINHASHES} FROM sh GROUP BY doc_id),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band FROM mh" for b in _BANDS)}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: 8 min-hashes per doc (lexicographic min of seeded
+    md5 over shingles — engine-portable), 4 bands of 2, candidate pairs share a
+    band. This is the scalable near-dup path: cost is bounded by bucket sizes,
+    not by the all-pairs shingle join."""
+    sh = _shingles_spark(spark, sf_dir)
+    aggs = [F.min(F.md5(F.concat(F.lit(str(seed)), F.col("s")))).alias(f"h{seed}")
+            for seed in range(1, 9)]
+    mh = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for expr in _BANDS:
+        part = mh.select("doc_id", F.expr(expr).alias("band"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def _simhash_bits_sql() -> str:
+    """Programmatically build the 16-bit simhash expression (portable SQL):
+    word -> first 4 hex chars of md5 -> 16 bits; per-doc per-bit +/-1 sums;
+    simhash = sum(2^b * (score_b > 0))."""
+    terms = []
+    for i in range(4):  # hex char index
+        d = f"(position(substr(hx, {i + 1}, 1) IN '0123456789abcdef') - 1)"
+        for j in range(4):  # bit within hex digit
+            b = i * 4 + j
+            bit = f"(CAST(floor({d} / {1 << j}) AS BIGINT) % 2)"
+            terms.append(
+                f"CASE WHEN sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "simhash16",
+    f"""
+    WITH words AS (
+      SELECT doc_id, substr(md5(w), 1, 4) AS hx
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    )
+    SELECT doc_id, CAST({_simhash_bits_sql()} AS BIGINT) AS simhash
+    FROM words GROUP BY doc_id
+    """,
+)
+def simhash16(spark, sf_dir):
+    """16-bit SimHash over word unigrams: per-bit majority vote of word-hash
+    bits. Hash bits derive from md5 hex (portable); the per-bit +/-1 sums are
+    exact integers, so the signature matches across engines bit-for-bit."""
+    d = tbl(spark, sf_dir, "documents")
+    words = (d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+             .filter(F.col("w") != "")
+             .select("doc_id", F.expr("substr(md5(w), 1, 4)").alias("hx")))
+    return words.groupBy("doc_id").agg(
+        F.expr(f"CAST({_simhash_bits_sql()} AS BIGINT)").alias("simhash"))
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nrm FROM flat GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.vec_id AS vec_id, dots.neighbor_id AS neighbor_id,
+             row_number() OVER (PARTITION BY dots.vec_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) DESC,
+               dots.neighbor_id) AS rank
+      FROM dots
+      JOIN norms na ON na.vec_id = dots.vec_id
+      JOIN norms nb ON nb.vec_id = dots.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM scored WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings — the ANN correctness baseline.
+    Elements are quantized to round(x*1e6) BIGINTs per position so dot products
+    and norms are exact integers (identical across engines); cosine is then one
+    IEEE-exact double division. Spark plan: posexplode -> position equi-join ->
+    integer dot products -> window top-k."""
+    e = tbl(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "v")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"),
+        F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("q"))
+    norms = flat.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).cast("long").alias("nrm"))
+    a = flat.alias("a")
+    b = flat.alias("b")
+    dots = (a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .groupBy(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+            .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("long").alias("dot")))
+    na = norms.withColumnRenamed("vec_id", "vec_id").withColumnRenamed("nrm", "na_n")
+    nb = norms.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("nrm", "nb_n")
+    cos = F.col("dot").cast("double") / F.sqrt(F.col("na_n").cast("double") * F.col("nb_n").cast("double"))
+    scored = (dots.join(na, "vec_id").join(nb, "neighbor_id")
+              .withColumn("rank", F.row_number().over(
+                  W.partitionBy("vec_id").orderBy(cos.desc(), "neighbor_id"))))
+    return (scored.filter(F.col("rank") <= 5)
+            .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# 6. rows-only queries (non-SQL-expressible: pandas-UDF kernels)
+# ---------------------------------------------------------------------------
+
+@query("hilbert_order")  # no oracle: Hilbert bit-twiddling is not ANSI-SQL-expressible
+def hilbert_order(spark, sf_dir):
+    """Hilbert tile ordering (TileCoord.hilbertEncoded:158-161, Hilbert.java:53-127)
+    via a vectorized pandas UDF; validated against golden vectors in pytest."""
+    from ..functions.geo import hilbert_of_tile
+
+    pts = tbl(spark, sf_dir, "orders").select(
+        F.expr(X.tile_id_from_key("o_orderkey", 10)).alias("tile_id"))
+    per_tile = pts.groupBy("tile_id").agg(F.count("*").alias("n"))
+    return (per_tile.withColumn("hilbert_id", hilbert_of_tile("tile_id"))
+            .select("tile_id", "hilbert_id", "n"))
