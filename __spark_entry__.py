@@ -23,9 +23,10 @@ from planetiler_spark.plans import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-zoom tile pyramid over sf0.001 (explode z0..14 -> tile
-    assign -> two-stage aggregate)."""
-    return Q.tile_pyramid_counts(spark, "/root/testdata/sf0.001")
+    """Flagship: the full map->sort->group-by-tile pipeline (render/slice ->
+    shuffle on the 64-bit feature key -> applyInPandas MVT encode) over the
+    deterministic images table at sf0.001 scale."""
+    return Q.images_tileset(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,7 +16,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
-    # tiling core (tiles/sec numerator)
+    # flagship pipeline (tiles/sec numerator)
+    "images_tileset",
+    "raster_tile_patches",
+    # tiling core
     "tile_assign_z14",
     "tile_pyramid_counts",
     "filled_tile_runs",

@@ -1,0 +1,319 @@
+"""Mapbox Vector Tile (MVT) codec — hand-rolled protobuf, no dependencies.
+
+Byte-level reimplementation of the reference's tile encoding
+(VectorTile.java:1105 encode, :697 command enum, :202-210 zigzag;
+vector_tile.proto spec v2.1):
+
+  Tile            { repeated Layer layers = 3 }
+  Layer           { version=15(=2), name=1, repeated Feature=2,
+                    keys=3, values=4, extent=5(=4096) }
+  Feature         { id=1, tags=2 packed, type=3, geometry=4 packed }
+  Value           { string=1, float=2, double=3, int64=4, uint64=5,
+                    sint64=6, bool=7 }
+
+Geometry commands (VectorTile.java:697-713): command integer =
+(id & 0x7) | (count << 3) with MOVE_TO=1, LINE_TO=2, CLOSE_PATH=7;
+coordinate deltas zigzag-encoded (VectorTile.java:202-210).
+
+The encoder is deterministic: keys/values are interned in first-seen order
+(mirrors VectorTile.Layer keys/values LinkedHashMaps, VectorTile.java:100).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+
+import numpy as np
+
+EXTENT = 4096  # VectorTile.java:97
+GEOM_POINT = 1
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+
+_MOVE_TO = 1
+_LINE_TO = 2
+_CLOSE_PATH = 7
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _packed(field: int, ints) -> bytes:
+    body = b"".join(_varint(int(v)) for v in ints)
+    return _len_delim(field, body)
+
+
+def zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def encode_value(v) -> bytes:
+    """MVT Value message for the 4 intermediate-supported types (string, long,
+    double, bool — collection/FeatureGroup.java:290-298; others stringified)."""
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, (int, np.integer)):
+        return _tag(6, 0) + _varint(zigzag(int(v)))
+    if isinstance(v, (float, np.floating)):
+        return _tag(3, 1) + struct.pack("<d", float(v))
+    return _len_delim(1, str(v).encode("utf-8"))
+
+
+def encode_geometry(geom_type: int, parts: list[np.ndarray]) -> list[int]:
+    """Tile-local integer coordinates -> MVT command stream.
+
+    parts: list of (N,2) int arrays — points (one part, N points), line pieces,
+    or polygon rings (closed; closing vertex dropped, CLOSE_PATH emitted),
+    matching VectorTile.encodeGeometry:426-480 cursor semantics."""
+    cmds: list[int] = []
+    cx = cy = 0
+    if geom_type == GEOM_POINT:
+        pts = parts[0]
+        cmds.append(_MOVE_TO | (len(pts) << 3))
+        for x, y in pts:
+            cmds.append(zigzag(int(x) - cx))
+            cmds.append(zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        return cmds
+    for part in parts:
+        p = part
+        if geom_type == GEOM_POLYGON and len(p) > 1 and p[0][0] == p[-1][0] and p[0][1] == p[-1][1]:
+            p = p[:-1]
+        if len(p) < (3 if geom_type == GEOM_POLYGON else 2):
+            continue
+        cmds.append(_MOVE_TO | (1 << 3))
+        x0, y0 = int(p[0][0]), int(p[0][1])
+        cmds.append(zigzag(x0 - cx))
+        cmds.append(zigzag(y0 - cy))
+        cx, cy = x0, y0
+        cmds.append(_LINE_TO | ((len(p) - 1) << 3))
+        for x, y in p[1:]:
+            cmds.append(zigzag(int(x) - cx))
+            cmds.append(zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        if geom_type == GEOM_POLYGON:
+            cmds.append(_CLOSE_PATH | (1 << 3))
+    return cmds
+
+
+def encode_fill(buffer_px: float = 4.0) -> list[int]:
+    """Constant full-tile fill square (VectorTile.encodeFill:481-489):
+    one rect covering the tile + buffer, reused for every filled interior tile."""
+    b = int(round(buffer_px * EXTENT / 256.0))
+    ring = np.array([[-b, -b], [EXTENT + b, -b], [EXTENT + b, EXTENT + b], [-b, EXTENT + b], [-b, -b]])
+    return encode_geometry(GEOM_POLYGON, [ring])
+
+
+class LayerBuilder:
+    """One MVT layer under construction; interns keys/values first-seen."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.keys: dict[str, int] = {}
+        self.values: dict[bytes, int] = {}
+        self.features: list[bytes] = []
+
+    def add_feature(self, fid: int | None, geom_type: int, commands: list[int],
+                    attrs: dict | None = None):
+        tags: list[int] = []
+        for k, v in (attrs or {}).items():
+            if v is None:
+                continue
+            ki = self.keys.setdefault(k, len(self.keys))
+            vb = encode_value(v)
+            vi = self.values.setdefault(vb, len(self.values))
+            tags.append(ki)
+            tags.append(vi)
+        body = b""
+        if fid is not None:
+            body += _tag(1, 0) + _varint(int(fid))
+        if tags:
+            body += _packed(2, tags)
+        body += _tag(3, 0) + _varint(geom_type)
+        body += _packed(4, commands)
+        self.features.append(body)
+
+    def build(self) -> bytes:
+        body = _tag(15, 0) + _varint(2)  # version 2
+        body += _len_delim(1, self.name.encode("utf-8"))
+        for f in self.features:
+            body += _len_delim(2, f)
+        for k in self.keys:
+            body += _len_delim(3, k.encode("utf-8"))
+        for vb in self.values:
+            body += _len_delim(4, vb)
+        body += _tag(5, 0) + _varint(EXTENT)
+        return body
+
+
+def encode_tile(layers: list[LayerBuilder], compress: bool = True) -> bytes:
+    raw = b"".join(_len_delim(3, lb.build()) for lb in layers)
+    if compress:
+        # fixed mtime -> deterministic bytes (tile content-hash dedup relies on it)
+        return gzip.compress(raw, compresslevel=6, mtime=0)
+    return raw
+
+
+# --- decoder (for tests / archive verification, mirrors VectorTile.decode:365) ---
+
+def _read_varint(buf: memoryview, off: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[off]
+        off += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, off
+        shift += 7
+
+
+def _decode_value(buf: bytes):
+    mv = memoryview(buf)
+    off = 0
+    key, off = _read_varint(mv, off)
+    field, wire = key >> 3, key & 7
+    if field == 1:
+        ln, off = _read_varint(mv, off)
+        return bytes(mv[off:off + ln]).decode("utf-8")
+    if field == 3:
+        return struct.unpack_from("<d", mv, off)[0]
+    if field == 6:
+        v, off = _read_varint(mv, off)
+        return unzigzag(v)
+    if field == 7:
+        v, off = _read_varint(mv, off)
+        return bool(v)
+    if field in (4, 5):
+        v, off = _read_varint(mv, off)
+        return v
+    if field == 2:
+        return struct.unpack_from("<f", mv, off)[0]
+    raise ValueError(f"bad value field {field}")
+
+
+def decode_tile(data: bytes) -> dict:
+    """MVT bytes (gzip or raw) -> {layer: [{id, type, geometry, attrs}]} with
+    geometry as list of (N,2) int arrays (commands replayed)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    mv = memoryview(data)
+    off = 0
+    out: dict = {}
+    while off < len(mv):
+        key, off = _read_varint(mv, off)
+        field, wire = key >> 3, key & 7
+        ln, off = _read_varint(mv, off)
+        payload = mv[off:off + ln]
+        off += ln
+        if field == 3:
+            name, feats = _decode_layer(payload)
+            out[name] = feats
+    return out
+
+
+def _decode_layer(mv: memoryview):
+    off = 0
+    name = ""
+    keys: list[str] = []
+    values: list = []
+    raw_feats: list[memoryview] = []
+    while off < len(mv):
+        key, off = _read_varint(mv, off)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            _, off = _read_varint(mv, off)
+            continue
+        ln, off = _read_varint(mv, off)
+        payload = mv[off:off + ln]
+        off += ln
+        if field == 1:
+            name = bytes(payload).decode("utf-8")
+        elif field == 2:
+            raw_feats.append(payload)
+        elif field == 3:
+            keys.append(bytes(payload).decode("utf-8"))
+        elif field == 4:
+            values.append(_decode_value(bytes(payload)))
+    feats = []
+    for fm in raw_feats:
+        feats.append(_decode_feature(fm, keys, values))
+    return name, feats
+
+
+def _decode_feature(mv: memoryview, keys, values):
+    off = 0
+    fid = None
+    gtype = 0
+    tags: list[int] = []
+    cmds: list[int] = []
+    while off < len(mv):
+        key, off = _read_varint(mv, off)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, off = _read_varint(mv, off)
+            if field == 1:
+                fid = v
+            elif field == 3:
+                gtype = v
+        else:
+            ln, off = _read_varint(mv, off)
+            end = off + ln
+            while off < end:
+                v, off = _read_varint(mv, off)
+                (tags if field == 2 else cmds).append(v)
+    # replay commands -> list of parts
+    parts: list[np.ndarray] = []
+    cur: list[tuple[int, int]] = []
+    x = y = 0
+    i = 0
+    while i < len(cmds):
+        cmd = cmds[i]
+        i += 1
+        op, count = cmd & 7, cmd >> 3
+        if op == _MOVE_TO:
+            for _ in range(count):
+                if cur:
+                    parts.append(np.array(cur))
+                    cur = []
+                x += unzigzag(cmds[i]); y += unzigzag(cmds[i + 1]); i += 2
+                cur.append((x, y))
+                if gtype == GEOM_POINT:
+                    parts.append(np.array(cur))
+                    cur = []
+        elif op == _LINE_TO:
+            for _ in range(count):
+                x += unzigzag(cmds[i]); y += unzigzag(cmds[i + 1]); i += 2
+                cur.append((x, y))
+        elif op == _CLOSE_PATH:
+            if cur:
+                cur.append(cur[0])
+                parts.append(np.array(cur))
+                cur = []
+    if cur:
+        parts.append(np.array(cur))
+    attrs = {keys[tags[j]]: values[tags[j + 1]] for j in range(0, len(tags), 2)}
+    return {"id": fid, "type": gtype, "geometry": parts, "attrs": attrs}

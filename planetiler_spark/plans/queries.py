@@ -942,6 +942,57 @@ def embedding_cosine_topk(spark, sf_dir):
 # 6. rows-only queries (non-SQL-expressible: pandas-UDF kernels)
 # ---------------------------------------------------------------------------
 
+def _images_n(sf_dir: str, base: int = 400) -> int:
+    """Deterministic images-table size scaled to the sf dir (sf0.001 -> base)."""
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(int(base * sf / 0.001), 50)
+
+
+@query("images_tileset")  # rows-only: full 3-phase pipeline (MVT bytes not SQL)
+def images_tileset(spark, sf_dir):
+    """THE flagship: Planetiler's map->sort->group-by-tile pipeline over the
+    synthesized images table (render/slice -> shuffle on the 64-bit key ->
+    applyInPandas MVT encode). Returns the tile index (bytes dropped so the
+    driver's hash is schema-stable)."""
+    from ..operators import tile_pipeline as tp
+    from ..sources import images as src
+
+    imgs = src.images_df(spark, _images_n(sf_dir, 1200), partitions=16, with_bytes=False)
+    tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=8)
+    return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
+
+
+@query("raster_tile_patches")  # rows-only: raster<->vector graft axis
+def raster_tile_patches(spark, sf_dir):
+    """Raster graft: decode image bytes -> crop per-z14-tile patches -> paste
+    into 256x256 canvases via groupBy(tile_id).applyInPandas."""
+    from ..operators import tile_pipeline as tp
+    from ..sources import images as src
+
+    imgs = src.images_df(spark, _images_n(sf_dir, 150), partitions=8, with_bytes=True)
+    rast = tp.raster_tileset(spark, imgs)
+    return rast.select("tile_id", "zoom", "x", "y", "n_images")
+
+
+@query("patch_psnr_verify")  # rows-only: per-row PSNR>=40dB + caption invariant
+def patch_psnr_verify(spark, sf_dir):
+    """Distributed verify job (BASELINE.json input_hint invariant): decoded
+    patch pixels vs deterministic source (exact for png, PSNR>=40dB lossy)
+    and caption equality, aggregated per format."""
+    from ..operators import tile_pipeline as tp
+    from ..sources import images as src
+
+    imgs = src.images_df(spark, _images_n(sf_dir, 120), partitions=8, with_bytes=True)
+    checks = tp.verify_patches(tp.render_patches(imgs))
+    return checks.groupBy("pixels_ok", "caption_ok").agg(
+        F.count("*").alias("n_patches"),
+        F.min("psnr").alias("min_psnr"))
+
+
 @query("hilbert_order")  # no oracle: Hilbert bit-twiddling is not ANSI-SQL-expressible
 def hilbert_order(spark, sf_dir):
     """Hilbert tile ordering (TileCoord.hilbertEncoded:158-161, Hilbert.java:53-127)

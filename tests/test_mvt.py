@@ -1,0 +1,93 @@
+"""MVT codec tests — encode/decode round-trips mirror VectorTileTest.java
+(721 LoC in the reference; command/zigzag semantics VectorTile.java:202-210,
+:426-489)."""
+
+import gzip
+
+import numpy as np
+
+from planetiler_spark.kernels import mvt
+
+
+def test_zigzag_roundtrip():
+    for v in (0, 1, -1, 2, -2, 4095, -4096, 2**31 - 1, -(2**31)):
+        assert mvt.unzigzag(mvt.zigzag(v)) == v
+
+
+def test_point_feature_roundtrip():
+    layer = mvt.LayerBuilder("pois")
+    cmds = mvt.encode_geometry(mvt.GEOM_POINT, [np.array([[100, 200]])])
+    layer.add_feature(7, mvt.GEOM_POINT, cmds, {"name": "x", "rank": 3, "score": 1.5, "on": True})
+    blob = mvt.encode_tile([layer])
+    assert blob[:2] == b"\x1f\x8b"  # gzipped
+    decoded = mvt.decode_tile(blob)
+    assert list(decoded) == ["pois"]
+    (feat,) = decoded["pois"]
+    assert feat["id"] == 7
+    assert feat["type"] == mvt.GEOM_POINT
+    np.testing.assert_array_equal(feat["geometry"][0], [[100, 200]])
+    assert feat["attrs"] == {"name": "x", "rank": 3, "score": 1.5, "on": True}
+
+
+def test_multipoint_and_negative_coords():
+    layer = mvt.LayerBuilder("l")
+    pts = np.array([[-10, -20], [4100, 0], [0, 4100]])
+    layer.add_feature(None, mvt.GEOM_POINT, mvt.encode_geometry(mvt.GEOM_POINT, [pts]))
+    decoded = mvt.decode_tile(mvt.encode_tile([layer], compress=False))
+    got = np.vstack([g for g in decoded["l"][0]["geometry"]])
+    np.testing.assert_array_equal(got, pts)
+
+
+def test_linestring_roundtrip():
+    layer = mvt.LayerBuilder("roads")
+    parts = [np.array([[0, 0], [100, 100], [200, 100]]),
+             np.array([[500, 500], [600, 700]])]
+    layer.add_feature(1, mvt.GEOM_LINESTRING,
+                      mvt.encode_geometry(mvt.GEOM_LINESTRING, parts))
+    decoded = mvt.decode_tile(mvt.encode_tile([layer]))
+    got = decoded["roads"][0]["geometry"]
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0], parts[0])
+    np.testing.assert_array_equal(got[1], parts[1])
+
+
+def test_polygon_close_path():
+    ring = np.array([[0, 0], [4096, 0], [4096, 4096], [0, 4096], [0, 0]])
+    layer = mvt.LayerBuilder("water")
+    layer.add_feature(None, mvt.GEOM_POLYGON,
+                      mvt.encode_geometry(mvt.GEOM_POLYGON, [ring]))
+    decoded = mvt.decode_tile(mvt.encode_tile([layer]))
+    got = decoded["water"][0]["geometry"][0]
+    np.testing.assert_array_equal(got, ring)  # CLOSE_PATH restores closing vertex
+
+
+def test_fill_constant(  ):
+    # VectorTile.encodeFill:481-489 — rect covering tile+buffer
+    cmds = mvt.encode_fill(4.0)
+    layer = mvt.LayerBuilder("x")
+    layer.add_feature(None, mvt.GEOM_POLYGON, cmds)
+    got = mvt.decode_tile(mvt.encode_tile([layer]))["x"][0]["geometry"][0]
+    b = round(4.0 * 4096 / 256)
+    assert got.min() == -b and got.max() == 4096 + b
+
+
+def test_deterministic_bytes():
+    def build():
+        layer = mvt.LayerBuilder("a")
+        layer.add_feature(1, mvt.GEOM_POINT,
+                          mvt.encode_geometry(mvt.GEOM_POINT, [np.array([[1, 2]])]),
+                          {"k": "v"})
+        return mvt.encode_tile([layer])
+    assert build() == build()  # gzip mtime pinned -> content-hash dedup works
+
+
+def test_key_value_interning():
+    layer = mvt.LayerBuilder("l")
+    for i in range(3):
+        layer.add_feature(i, mvt.GEOM_POINT,
+                          mvt.encode_geometry(mvt.GEOM_POINT, [np.array([[i, i]])]),
+                          {"k": "same", "n": i})
+    raw = gzip.decompress(mvt.encode_tile([layer]))
+    # "same" appears once (interned); keys k/n appear once each
+    assert raw.count(b"same") == 1
+    assert raw.count(b"\x1a\x01k") == 1  # key "k" interned once
