@@ -1,0 +1,97 @@
+"""CLI entry — the spark-submit surface (reference analog: dist Main.java +
+Planetiler.run, Planetiler.java:791-996).
+
+Run locally:
+  python -m planetiler_spark.plans.pipeline --n 2000 --out /tmp/tiles_out
+
+Or on a cluster (north_rule launch mode):
+  spark-submit --py-files planetiler_spark.zip -m planetiler_spark.plans.pipeline ...
+
+Stages mirror the reference's run(): plan log -> render -> sort -> emit ->
+archive write (+ optional raster z14 pass + checkpointed mode + verify).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="planetiler_spark tileset job")
+    ap.add_argument("--n", type=int, default=2000, help="images rows to synthesize")
+    ap.add_argument("--out", required=True, help="output dir (tiles parquet + status)")
+    ap.add_argument("--minzoom", type=int, default=0)
+    ap.add_argument("--maxzoom", type=int, default=10)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=0,
+                    help=">0: checkpointed per-bucket run (resumable)")
+    ap.add_argument("--raster", action="store_true", help="also emit z14 raster tiles")
+    ap.add_argument("--verify", action="store_true", help="run patch PSNR/caption verify")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    cpus = int(args.cpus)
+    sp = args.shuffle_partitions or cpus * 2
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("planetiler_spark")
+             .config("spark.sql.shuffle.partitions", str(sp))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ..operators import checkpoint as cp
+    from ..operators import tile_pipeline as tp
+    from ..sources import images as src
+
+    t0 = time.time()
+    images = src.images_df(spark, args.n, partitions=max(cpus * 2, 8),
+                           with_bytes=args.raster or args.verify)
+    print(f"plan: n={args.n} z{args.minzoom}-{args.maxzoom} cpus={cpus} "
+          f"shuffle={sp} buckets={args.buckets}", file=sys.stderr)
+
+    summary: dict = {"n_images": args.n, "cpus": cpus}
+    if args.buckets > 0:
+        ran = cp.run_checkpointed(spark, images, args.out, n_buckets=args.buckets,
+                                  min_zoom=args.minzoom, max_zoom=args.maxzoom,
+                                  with_raster=args.verify, verbose=True)
+        summary["buckets_ran"] = len(ran)
+        tiles = spark.read.parquet(os.path.join(args.out, "tiles"))
+    else:
+        tiles = tp.tileset(spark, images, args.minzoom, args.maxzoom,
+                           shuffle_partitions=sp)
+        tiles.write.mode("overwrite").parquet(os.path.join(args.out, "tiles"))
+        tiles = spark.read.parquet(os.path.join(args.out, "tiles"))
+
+    agg = tiles.agg(F.count("*").alias("nt"), F.sum("n_features").alias("nf")).collect()[0]
+    summary["n_tiles"] = int(agg.nt)
+    summary["n_features"] = int(agg.nf or 0)
+
+    if args.raster:
+        rast = tp.raster_tileset(spark, images)
+        rast.write.mode("overwrite").parquet(os.path.join(args.out, "raster"))
+        summary["n_raster_tiles"] = spark.read.parquet(
+            os.path.join(args.out, "raster")).count()
+    if args.verify and args.buckets <= 0:
+        checks = tp.verify_patches(tp.render_patches(images)).agg(
+            F.min("psnr").alias("p"),
+            F.min(F.col("pixels_ok").cast("int")).alias("ok")).collect()[0]
+        summary["psnr_min"] = float(checks.p)
+        summary["pixels_ok"] = bool(checks.ok)
+
+    summary["wall_s"] = round(time.time() - t0, 2)
+    summary["tiles_per_s"] = round(summary["n_tiles"] / summary["wall_s"], 1)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

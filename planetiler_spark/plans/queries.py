@@ -993,6 +993,38 @@ def patch_psnr_verify(spark, sf_dir):
         F.min("psnr").alias("min_psnr"))
 
 
+@query("pip_polygon_index")  # rows-only: real polygons, broadcast grid index
+def pip_polygon_index(spark, sf_dir):
+    """PIP zone assignment with REAL polygons (incl. holes + overlaps) via the
+    broadcast polygon index (PolygonIndex.java:20-145 semantics: containment
+    multiplicity + nearest-fallback within threshold). Aggregated per zone so
+    the row count stays stable."""
+    from ..operators import spatial as sp
+    from ..sources import images as src
+
+    imgs = src.images_df(spark, _images_n(sf_dir, 1500), partitions=16, with_bytes=False)
+    joined = sp.pip_zones(imgs, within=0.01)
+    return joined.groupBy("kind", "fallback").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("zone_id").alias("n_zones"),
+        F.min("image_id").alias("first_image"))
+
+
+@query("knn_zone_centroids")  # rows-only: broadcast vectorized kNN
+def knn_zone_centroids(spark, sf_dir):
+    """k=5 nearest zone centroids per image via the broadcast distance-matrix
+    kNN (PointIndex.getNearest:70 semantics, deterministic tie-breaks)."""
+    from ..operators import spatial as sp
+    from ..sources import images as src
+
+    imgs = src.images_df(spark, _images_n(sf_dir, 1500), partitions=16, with_bytes=False)
+    knn = sp.knn_zones(imgs, k=5)
+    return knn.groupBy("rank").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("zone_id").alias("n_zones"),
+        F.sum(F.expr("CAST(round(d2 * 1000000000) AS BIGINT)")).alias("sum_d2_ppb"))
+
+
 @query("hilbert_order")  # no oracle: Hilbert bit-twiddling is not ANSI-SQL-expressible
 def hilbert_order(spark, sf_dir):
     """Hilbert tile ordering (TileCoord.hilbertEncoded:158-161, Hilbert.java:53-127)
