@@ -53,7 +53,9 @@ def main():
              .appName("planetiler_spark_bench")
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             # Python-CPU-bound reduce stages (MVT encode) must keep their
+             # partition count; AQE byte-sizing would serialize them
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
              .config("spark.ui.enabled", "false")

@@ -99,6 +99,34 @@ def _parse_wkb_at(mv, off):
     raise ValueError(f"unsupported WKB type {typ}")
 
 
+# --- tile-local parts codec ----------------------------------------------------
+# Serialize a list of int32 (N,2) coordinate parts (rings / line pieces) into
+# one binary column value, so sliced geometry travels the shuffle compactly
+# (the reference ships msgpack'd commands the same way, FeatureGroup.java:252).
+
+def pack_parts(parts: list[np.ndarray]) -> bytes:
+    out = [struct.pack("<I", len(parts))]
+    for p in parts:
+        a = np.ascontiguousarray(p, dtype="<i4")
+        out.append(struct.pack("<I", len(a)))
+        out.append(a.tobytes())
+    return b"".join(out)
+
+
+def unpack_parts(buf: bytes) -> list[np.ndarray]:
+    mv = memoryview(buf)
+    (n,) = struct.unpack_from("<I", mv, 0)
+    off = 4
+    parts = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", mv, off)
+        off += 4
+        parts.append(np.frombuffer(mv, dtype="<i4", count=2 * ln, offset=off)
+                     .reshape(ln, 2).astype(np.int64))
+        off += 8 * ln
+    return parts
+
+
 # --- ring math ----------------------------------------------------------------
 
 def ring_signed_area(ring: np.ndarray) -> float:

@@ -52,10 +52,43 @@ VERIFY_SCHEMA = ("image_id string, tile_id long, psnr double, pixels_ok boolean,
 # phase 1: render
 # ---------------------------------------------------------------------------
 
+def _cell_key(tids: np.ndarray, ex: np.ndarray, ey: np.ndarray, cell: int) -> np.ndarray:
+    """(tile, label-grid cell) composite key; 8 bits per axis suffice because
+    cells per tile = 256/grid_px (+/- buffer)."""
+    return (tids << 16) ^ (((ex // cell) & 0xFF) << 8) ^ ((ey // cell) & 0xFF)
+
+
+def _partial_thin(out: pd.DataFrame, thin_limit: int, cell: int) -> pd.DataFrame:
+    """Map-side combine for the label-grid limit: keep the first `thin_limit`
+    rows per (tile, cell) by (sort_key, image_id) WITHIN this batch. Exact: it
+    keeps a superset of the global top-K (same ordering keys), and the tile
+    reduce re-applies the limit globally. Slashes shuffle volume for hot city
+    tiles (the north_rule skew case) just like the reference's in-memory
+    label-grid drop during tile assembly (FeatureGroup.java:616-637)."""
+    n = len(out)
+    if n == 0:
+        return out
+    ck = _cell_key(out["tile_id"].to_numpy(), out["ex"].to_numpy(),
+                   out["ey"].to_numpy(), cell)
+    order = np.lexsort((out["image_id"].to_numpy(), out["sort_key"].to_numpy(), ck))
+    cks = ck[order]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = cks[1:] != cks[:-1]
+    grp_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+    keep_sorted = (np.arange(n) - grp_start) < thin_limit
+    keep = np.empty(n, dtype=bool)
+    keep[order] = keep_sorted
+    return out[keep]
+
+
 def render_features(images: DataFrame, min_zoom: int = 0,
-                    max_zoom: int = MAX_ZOOM) -> DataFrame:
-    """images -> per-(feature, zoom, tile) rows in the sorted-KV model."""
+                    max_zoom: int = MAX_ZOOM, thin_limit: int | None = None,
+                    grid_px: int = 32) -> DataFrame:
+    """images -> per-(feature, zoom, tile) rows in the sorted-KV model.
+    thin_limit applies the map-side partial label-grid cap (see _partial_thin)."""
     zooms = range(min_zoom, max_zoom + 1)
+    cell = grid_px * 4096 // 256
 
     def gen(batches):
         for pdf in batches:
@@ -69,6 +102,8 @@ def render_features(images: DataFrame, min_zoom: int = 0,
             out["image_id"] = pdf["image_id"].to_numpy()[idx]
             out["caption"] = pdf["caption"].to_numpy()[idx]
             out["sort_key"] = sort_key[idx]
+            if thin_limit is not None:
+                out = _partial_thin(out, thin_limit, cell)
             yield out
 
     cols = [c for c in images.columns if c != "bytes"]  # column pruning: no pixels in the vector path
@@ -163,59 +198,88 @@ def _grouped_by_tile(df: DataFrame, partitions: int | None, order_cols: list[str
                 .sortWithinPartitions("tile_id", *order_cols))
 
     def stream(batches):
-        held: pd.DataFrame | None = None
+        # Carry-over across Arrow batch boundaries is O(total): the trailing
+        # (possibly continuing) tile is held as a LIST of chunks and concat'd
+        # exactly once when it completes — a dense city tile spanning hundreds
+        # of batches costs linear copies, never quadratic.
+        held: list[pd.DataFrame] = []
+        held_tile: int | None = None
         for pdf in batches:
-            if held is not None and len(held):
-                pdf = pd.concat([held, pdf], ignore_index=True)
-                held = None
             if len(pdf) == 0:
                 continue
             tids = pdf["tile_id"].to_numpy()
-            # hold back the trailing tile: it may continue in the next batch
+            if held and held_tile != tids[0]:
+                yield from reduce_fn(pd.concat(held, ignore_index=True)
+                                     if len(held) > 1 else held[0])
+                held = []
             last_start = int(np.searchsorted(tids, tids[-1], side="left"))
-            held = pdf.iloc[last_start:]
-            body = pdf.iloc[:last_start]
+            if held and last_start == 0:
+                held.append(pdf)  # whole batch continues the held tile
+                continue
+            if held:
+                first_end = int(np.searchsorted(tids, tids[0], side="right"))
+                held.append(pdf.iloc[:first_end])
+                yield from reduce_fn(pd.concat(held, ignore_index=True))
+                held = []
+                body = pdf.iloc[first_end:last_start]
+            else:
+                body = pdf.iloc[:last_start]
             if len(body):
                 yield from reduce_fn(body)
-        if held is not None and len(held):
-            yield from reduce_fn(held)
+            held = [pdf.iloc[last_start:]]
+            held_tile = int(tids[-1])
+        if held:
+            yield from reduce_fn(pd.concat(held, ignore_index=True)
+                                 if len(held) > 1 else held[0])
 
     return shuffled, stream
 
 
-def encode_vector_tiles(feats: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Sorted consecutive-tile grouping -> one MVT blob per tile."""
+def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
+                        thin_limit: int | None = None,
+                        grid_px: int = 32) -> DataFrame:
+    """Sorted consecutive-tile grouping -> one MVT blob per tile.
+
+    thin_limit: label-grid density cap applied INSIDE the reduce (rows arrive
+    sorted by key, i.e. sortKey order — FeatureGroup.TileFeatures.add:616-637
+    drops beyond-limit features exactly like this, during tile assembly).
+    Costs no extra shuffle; use the standalone `label_grid_thin` (salted
+    windows) instead when data must shrink BEFORE the shuffle."""
     import hashlib
+    cell = grid_px * mvt.EXTENT // 256
 
     def reduce_tiles(pdf: pd.DataFrame):
         tids = pdf["tile_id"].to_numpy()
+        if thin_limit is not None:
+            # vectorized label-grid cap: rows are already in (tile, sortKey)
+            # order, so rank-within-(tile,cell) = order of appearance
+            gx = pdf["ex"].to_numpy() // cell
+            gy = pdf["ey"].to_numpy() // cell
+            cell_key = pd.Series((tids << 16) ^ ((gx & 0xFF) << 8) ^ (gy & 0xFF))
+            rank = cell_key.groupby(cell_key, sort=False).cumcount().to_numpy()
+            keep = rank < thin_limit
+            if not keep.all():
+                pdf = pdf[keep]
+                tids = tids[keep]
+        n = len(tids)
+        if n == 0:
+            return
         starts = np.nonzero(np.diff(tids, prepend=tids[0] - 1))[0]
-        ends = np.append(starts[1:], len(tids))
-        ex_all = pdf["ex"].to_numpy()
-        ey_all = pdf["ey"].to_numpy()
-        sk_all = pdf["sort_key"].to_numpy()
-        ids_all = pdf["image_id"].to_numpy()
-        caps_all = pdf["caption"].to_numpy()
+        ends = np.append(starts[1:], n)
         xs, ys, zs = tm.tile_decode(tids[starts])
-        out = {k: [] for k in ("tile_id", "zoom", "x", "y", "n_features",
-                               "tile_bytes", "content_hash")}
-        for g, (s, e) in enumerate(zip(starts, ends)):
-            layer = mvt.LayerBuilder("images")
-            add = layer.add_feature
-            for i in range(s, e):
-                cmds = [9, mvt.zigzag(int(ex_all[i])), mvt.zigzag(int(ey_all[i]))]
-                add(None, mvt.GEOM_POINT, cmds,
-                    {"image_id": ids_all[i], "caption": caps_all[i],
-                     "sort_key": int(sk_all[i])})
-            blob = mvt.encode_tile([layer])
-            out["tile_id"].append(int(tids[s]))
-            out["zoom"].append(int(zs[g]))
-            out["x"].append(int(xs[g]))
-            out["y"].append(int(ys[g]))
-            out["n_features"].append(e - s)
-            out["tile_bytes"].append(blob)
-            out["content_hash"].append(hashlib.sha256(blob).hexdigest()[:16])
-        yield pd.DataFrame(out)
+        stream = mvt.PointTileStream(
+            pdf["ex"].to_numpy(), pdf["ey"].to_numpy(),
+            pdf["sort_key"].to_numpy(), pdf["image_id"].to_numpy(),
+            pdf["caption"].to_numpy())
+        blobs = list(stream.encode_tiles(starts, ends))
+        yield pd.DataFrame({
+            "tile_id": tids[starts],
+            "zoom": zs.astype(np.int32), "x": xs.astype(np.int32),
+            "y": ys.astype(np.int32),
+            "n_features": (ends - starts).astype(np.int64),
+            "tile_bytes": blobs,
+            "content_hash": [hashlib.sha256(b).hexdigest()[:16] for b in blobs],
+        })
 
     shuffled, stream = _grouped_by_tile(feats, partitions,
                                         ["key", "image_id"], reduce_tiles)
@@ -294,19 +358,119 @@ def verify_patches(patches: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# polygon layer: the full vector render path over the zones table
+# (clip -> fill detection -> DP simplify -> snap, render/TiledGeometry.java)
+# ---------------------------------------------------------------------------
+
+ZONE_FEATURES_SCHEMA = ("key long, tile_id long, zoom int, zone_id string, "
+                        "kind string, fill boolean, parts binary")
+
+
+def render_zone_features(spark: SparkSession, min_zoom: int = 0,
+                         max_zoom: int = 8) -> DataFrame:
+    """zones polygons -> per-tile clipped/simplified fragments + interior fill
+    rows across zooms, in the sorted-KV model."""
+    from ..kernels import geom as gk
+    from ..sources import images as src
+
+    zones = spark.createDataFrame(src.zones_pdf())
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("key", "tile_id", "zoom", "zone_id",
+                                    "kind", "fill", "parts")}
+            for r in pdf.itertuples(index=False):
+                typ, rings = gk.parse_wkb(bytes(r.wkb))
+                assert typ == "polygon"
+                for z in range(min_zoom, max_zoom + 1):
+                    for tx, ty, kind, parts in R.slice_polygon(rings, z):
+                        tid = int(tm.tile_encode(tx, ty, z))
+                        rows["key"].append(int(tm.encode_sort_key(tid, 1, 0, 0)))
+                        rows["tile_id"].append(tid)
+                        rows["zoom"].append(z)
+                        rows["zone_id"].append(r.zone_id)
+                        rows["kind"].append(r.kind)
+                        rows["fill"].append(kind == "fill")
+                        rows["parts"].append(b"" if parts is None else gk.pack_parts(parts))
+            out = pd.DataFrame(rows)
+            out["zoom"] = out["zoom"].astype("int32") if len(out) else out["zoom"]
+            yield out
+
+    return zones.repartition(16, "zone_id").mapInPandas(gen, ZONE_FEATURES_SCHEMA)
+
+
+def encode_zone_tiles(feats: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Per-tile MVT encode of the polygon layer; interior tiles reuse ONE
+    precomputed constant fill geometry (FeatureRenderer.emitFilledTiles:290 +
+    VectorTile.encodeFill:481 — memoization-friendly by construction)."""
+    import hashlib
+    from ..kernels import geom as gk
+
+    fill_cmds = mvt.encode_fill(R.BUFFER_PX)
+
+    def reduce_tiles(pdf: pd.DataFrame):
+        tids = pdf["tile_id"].to_numpy()
+        starts = np.nonzero(np.diff(tids, prepend=tids[0] - 1))[0]
+        ends = np.append(starts[1:], len(tids))
+        xs, ys, zs = tm.tile_decode(tids[starts])
+        fills = pdf["fill"].to_numpy()
+        parts_a = pdf["parts"].to_numpy()
+        zid_a = pdf["zone_id"].to_numpy()
+        kind_a = pdf["kind"].to_numpy()
+        out = {k: [] for k in ("tile_id", "zoom", "x", "y", "n_features",
+                               "tile_bytes", "content_hash")}
+        for g, (s, e) in enumerate(zip(starts, ends)):
+            layer = mvt.LayerBuilder("zones")
+            for i in range(s, e):
+                attrs = {"zone_id": zid_a[i], "kind": kind_a[i]}
+                if fills[i]:
+                    layer.add_feature(None, mvt.GEOM_POLYGON, fill_cmds, attrs)
+                else:
+                    parts = gk.unpack_parts(bytes(parts_a[i]))
+                    cmds = mvt.encode_geometry(mvt.GEOM_POLYGON, parts)
+                    if cmds:
+                        layer.add_feature(None, mvt.GEOM_POLYGON, cmds, attrs)
+            blob = mvt.encode_tile([layer])
+            out["tile_id"].append(int(tids[s]))
+            out["zoom"].append(int(zs[g]))
+            out["x"].append(int(xs[g]))
+            out["y"].append(int(ys[g]))
+            out["n_features"].append(e - s)
+            out["tile_bytes"].append(blob)
+            out["content_hash"].append(hashlib.sha256(blob).hexdigest()[:16])
+        yield pd.DataFrame(out)
+
+    shuffled, stream = _grouped_by_tile(feats, partitions,
+                                        ["key", "zone_id"], reduce_tiles)
+    return shuffled.mapInPandas(stream, TILE_SCHEMA)
+
+
+def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
+                  shuffle_partitions: int | None = None) -> DataFrame:
+    tiles = encode_zone_tiles(render_zone_features(spark, min_zoom, max_zoom),
+                              partitions=shuffle_partitions)
+    return tiles.repartitionByRange(8, "tile_id").sortWithinPartitions("tile_id")
+
+
+# ---------------------------------------------------------------------------
 # the full job
 # ---------------------------------------------------------------------------
 
 def tileset(spark: SparkSession, images: DataFrame, min_zoom: int = 0,
             max_zoom: int = MAX_ZOOM, shuffle_partitions: int | None = None,
-            thin_limit: int | None = 64, ordered: bool = True) -> DataFrame:
+            thin_limit: int | None = 64, ordered: bool = True,
+            pre_thin: bool = False) -> DataFrame:
     """images -> vector tiles table, zoom-major tile order (phase 1+2+3).
-    thin_limit=None skips label-grid density thinning (and its two window
-    shuffles) for profiles that keep every feature."""
-    feats = render_features(images, min_zoom, max_zoom)
-    if thin_limit is not None:
+
+    Density thinning (thin_limit) normally runs inside the tile reduce (zero
+    extra shuffles). pre_thin=True additionally runs the salted two-stage
+    window BEFORE the shuffle — worth it only when dense tiles dominate
+    shuffle volume (extreme skew at production scale)."""
+    feats = render_features(images, min_zoom, max_zoom, thin_limit=thin_limit)
+    if pre_thin and thin_limit is not None:
         feats = label_grid_thin(feats, limit=thin_limit)
-    tiles = encode_vector_tiles(feats, partitions=shuffle_partitions)
+    tiles = encode_vector_tiles(feats, partitions=shuffle_partitions,
+                                thin_limit=thin_limit)
     if ordered:
         # zoom-major spatially-clustered archive order (TileOrder TMS); tiny
         # output table, cheap range partition + in-partition sort

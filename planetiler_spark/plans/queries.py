@@ -520,6 +520,384 @@ def archive_compare(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 3b. stats / metadata aggregations (util/TilesetSummaryStatistics.java:24,
+#     util/LayerAttrStats.java, util/TileWeights)
+# ---------------------------------------------------------------------------
+
+_TILE9 = X.tile_id_from_key("l_orderkey * 31 + l_linenumber", 9)
+
+
+@query(
+    "tileset_stats",
+    f"""
+    WITH per_tile AS (
+      SELECT ({_TILE9} % 3) AS zoom_band, {_TILE9} AS tile_id, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT zoom_band, tile_id, n,
+             row_number() OVER (PARTITION BY zoom_band ORDER BY n, tile_id) AS rn,
+             count(*) OVER (PARTITION BY zoom_band) AS cnt
+      FROM per_tile
+    )
+    SELECT zoom_band, max(cnt) AS n_tiles, CAST(sum(n) AS BIGINT) AS n_features,
+           max(n) AS max_per_tile,
+           max(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT) THEN n END) AS median_per_tile
+    FROM ranked GROUP BY zoom_band
+    """,
+)
+def tileset_stats(spark, sf_dir):
+    """Tileset summary statistics (TilesetSummaryStatistics.java:24): per-band
+    tile counts, max and EXACT median tile size — median via deterministic
+    rank math (no percentile_approx; exact integers hash-match both engines)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    per_tile = (li.select(F.expr(_TILE9).alias("tile_id"))
+                .withColumn("zoom_band", F.col("tile_id") % 3)
+                .groupBy("zoom_band", "tile_id").agg(F.count("*").alias("n")))
+    ranked = (per_tile
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("zoom_band").orderBy("n", "tile_id")))
+              .withColumn("cnt", F.count("*").over(W.partitionBy("zoom_band"))))
+    return ranked.groupBy("zoom_band").agg(
+        F.max("cnt").alias("n_tiles"),
+        F.sum("n").cast("long").alias("n_features"),
+        F.max("n").alias("max_per_tile"),
+        F.max(F.when(F.col("rn") == F.expr("CAST(floor((cnt + 1) / 2.0) AS BIGINT)"),
+                     F.col("n"))).alias("median_per_tile"))
+
+
+@query(
+    "top_biggest_tiles",
+    f"""
+    WITH per_tile AS (
+      SELECT {_TILE9} AS tile_id, count(*) AS n FROM lineitem GROUP BY 1
+    )
+    SELECT tile_id, n FROM per_tile ORDER BY n DESC, tile_id LIMIT 20
+    """,
+)
+def top_biggest_tiles(spark, sf_dir):
+    """Top-N biggest tiles (TilesetSummaryStatistics topGzipped): global
+    deterministic top-20 — Catalyst's TakeOrderedAndProject, no full sort."""
+    li = tbl(spark, sf_dir, "lineitem")
+    per_tile = (li.select(F.expr(_TILE9).alias("tile_id"))
+                .groupBy("tile_id").agg(F.count("*").alias("n")))
+    return per_tile.orderBy(F.desc("n"), "tile_id").limit(20)
+
+
+@query(
+    "weighted_tile_stats",
+    f"""
+    WITH per_tile AS (
+      SELECT {_TILE9} AS tile_id, count(*) AS n FROM lineitem GROUP BY 1
+    ), weights AS (
+      SELECT {X.tile_id_from_key('o_orderkey', 9)} AS tile_id, count(*) AS w
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(sum(n * coalesce(w, 0)) AS BIGINT) AS weighted_sum,
+           CAST(sum(coalesce(w, 0)) AS BIGINT) AS total_w,
+           count(*) AS n_tiles,
+           CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unweighted_tiles
+    FROM per_tile LEFT JOIN weights USING (tile_id)
+    """,
+)
+def weighted_tile_stats(spark, sf_dir):
+    """Traffic-weighted tile stats (TileWeights + TopOsmTiles): left-join a
+    weight table (broadcastable), exact integer weighted sums."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    per_tile = (li.select(F.expr(_TILE9).alias("tile_id"))
+                .groupBy("tile_id").agg(F.count("*").alias("n")))
+    weights = (o.select(F.expr(X.tile_id_from_key("o_orderkey", 9)).alias("tile_id"))
+               .groupBy("tile_id").agg(F.count("*").alias("w")))
+    j = per_tile.join(F.broadcast(weights), "tile_id", "left")
+    return j.agg(
+        F.sum(F.col("n") * F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("weighted_sum"),
+        F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("total_w"),
+        F.count("*").alias("n_tiles"),
+        F.sum(F.when(F.col("w").isNull(), 1).otherwise(0)).cast("long").alias("unweighted_tiles"))
+
+
+@query(
+    "layer_attr_stats",
+    """
+    SELECT source AS layer,
+           list_sort(list(DISTINCT lang)) AS langs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           count(DISTINCT doc_id) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def layer_attr_stats(spark, sf_dir):
+    """Layer attribute schema inference (util/LayerAttrStats.java): per layer
+    the attr values seen + ranges, emitted as archive metadata."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy(F.col("source").alias("layer")).agg(
+        F.sort_array(F.collect_set("lang")).alias("langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("doc_id").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# 3c. set ops / unions / enrichment (SURVEY §2.7, §2.4 external enrichment)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multi_source_union",
+    """
+    WITH feats AS (
+      SELECT 'customer' AS source, c_custkey AS id, c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT 'supplier' AS source, s_suppkey AS id, s_nationkey AS nationkey FROM supplier
+    )
+    SELECT source, nationkey, count(*) AS n, min(id) AS first_id
+    FROM feats GROUP BY source, nationkey
+    """,
+)
+def multi_source_union(spark, sf_dir):
+    """Multi-source union into one sink (Planetiler.java:957-963 runs each
+    source stage into the same FeatureGroup) -> unionByName."""
+    c = tbl(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("source"), F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("source"), F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("source", "nationkey").agg(
+        F.count("*").alias("n"), F.min("id").alias("first_id"))
+
+
+@query(
+    "broadcast_enrichment",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers, min(c_custkey) AS first
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def broadcast_enrichment(spark, sf_dir):
+    """External-dictionary enrichment (util/Wikidata.java:61 name translations
+    -> map-side lookup): broadcast hash joins against tiny dims."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers"), F.min("c_custkey").alias("first")))
+
+
+@query(
+    "way_node_join",
+    f"""
+    WITH nodes AS (SELECT p_partkey, {X.lcg('p_partkey', 2)} AS loc FROM part),
+    members AS (
+      SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey FROM lineitem
+    )
+    SELECT way_id, count(*) AS n_nodes,
+           CAST(sum(pos * loc) AS BIGINT) AS path_checksum,
+           min(loc) AS min_loc, max(loc) AS max_loc
+    FROM members JOIN nodes ON p_partkey = l_partkey
+    GROUP BY way_id
+    """,
+)
+def way_node_join(spark, sf_dir):
+    """The OSM way->node location lookup (OsmReader.processWayPass2:534-549
+    over LongLongMap): explode members, equi-join the node locations, then
+    ordered reassembly per way — verified via a position-weighted checksum
+    (exact int64) so assembly order matters, as in the reference."""
+    p = tbl(spark, sf_dir, "part").select(
+        "p_partkey", F.expr(X.lcg("p_partkey", 2)).alias("loc"))
+    m = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"), F.col("l_linenumber").alias("pos"),
+        "l_partkey")
+    j = m.join(p, m.l_partkey == p.p_partkey)
+    return j.groupBy("way_id").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("pos") * F.col("loc")).cast("long").alias("path_checksum"),
+        F.min("loc").alias("min_loc"), F.max("loc").alias("max_loc"))
+
+
+# ---------------------------------------------------------------------------
+# 3d. expression DSL / zoom functions / parsing / CEL stdlib
+# (expression/Expression.java:35, util/ZoomFunction.java:13-45, util/Parse.java,
+#  custommap PlanetilerStdLib)
+# ---------------------------------------------------------------------------
+
+@query(
+    "expression_dsl_match",
+    """
+    WITH matches AS (
+      SELECT doc_id, 'long_en' AS layer FROM documents WHERE lang = 'en' AND n_chars >= 400
+      UNION ALL
+      SELECT doc_id, 'short' AS layer FROM documents WHERE n_chars < 150
+      UNION ALL
+      SELECT doc_id, 'web' AS layer FROM documents WHERE source LIKE '%web%'
+    )
+    SELECT layer, count(*) AS n, min(doc_id) AS first_doc
+    FROM matches GROUP BY layer
+    """,
+)
+def expression_dsl_match(spark, sf_dir):
+    """The boolean expression DSL + multi-match index
+    (Expression.java And/Or/MatchField/MatchAny, MultiExpression.index:107):
+    N layer rules compiled to filtered unions — a feature matching several
+    rules lands in several layers. Catalyst folds/prunes each branch."""
+    d = tbl(spark, sf_dir, "documents")
+    rules = [
+        ("long_en", (F.col("lang") == "en") & (F.col("n_chars") >= 400)),
+        ("short", F.col("n_chars") < 150),
+        ("web", F.col("source").like("%web%")),
+    ]
+    parts = [d.filter(cond).select("doc_id", F.lit(name).alias("layer"))
+             for name, cond in rules]
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.unionByName(prt)
+    return out.groupBy("layer").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+
+
+@query(
+    "zoom_function_attrs",
+    """
+    WITH exploded AS (
+      SELECT p_partkey, z.zoom AS zoom, p_size
+      FROM part CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS zoom) z
+    )
+    SELECT zoom,
+           CAST(sum(CASE WHEN zoom >= 10 THEN p_size END) AS BIGINT) AS sum_size_z10plus,
+           CAST(count(CASE WHEN zoom BETWEEN 6 AND 9 THEN 1 END) AS BIGINT) AS n_mid,
+           CAST(sum(CASE WHEN zoom < 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM exploded GROUP BY zoom
+    """,
+)
+def zoom_function_attrs(spark, sf_dir):
+    """Zoom-dependent attributes (util/ZoomFunction.java:13-45): values appear
+    only within zoom ranges — resolved AFTER the zoom explode as CASE WHEN."""
+    p = tbl(spark, sf_dir, "part")
+    exploded = p.select(
+        "p_partkey", "p_size",
+        F.explode(F.sequence(F.lit(0), F.lit(14))).alias("zoom"))
+    return exploded.groupBy("zoom").agg(
+        F.sum(F.when(F.col("zoom") >= 10, F.col("p_size"))).cast("long").alias("sum_size_z10plus"),
+        F.count(F.when(F.col("zoom").between(6, 9), 1)).cast("long").alias("n_mid"),
+        F.sum(F.when(F.col("zoom") < 6, 1).otherwise(0)).cast("long").alias("n_low"))
+
+
+@query(
+    "parse_tags",
+    """
+    WITH tagged AS (
+      SELECT p_partkey,
+             CASE p_partkey % 5 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' WHEN 2 THEN '1'
+                                WHEN 3 THEN 'false' ELSE 'maybe' END AS flag,
+             CAST(p_size AS VARCHAR) || 'm' AS height,
+             'ref ' || CAST(p_partkey % 97 AS VARCHAR) || ' end' AS reftag
+      FROM part
+    )
+    SELECT CAST(sum(CASE WHEN flag IN ('no', 'false', '0') THEN 0 ELSE 1 END) AS BIGINT) AS n_true,
+           CAST(sum(CAST(regexp_extract(height, '^([0-9]+)m$', 1) AS BIGINT)) AS BIGINT) AS total_m,
+           CAST(sum(CAST(regexp_extract(reftag, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS ref_sum,
+           count(*) AS n
+    FROM tagged
+    """,
+)
+def parse_tags(spark, sf_dir):
+    """Forgiving tag parsing (util/Parse.java: bool:114 — false only for
+    no/false/0; meters:180 unit suffix; parseIntSubstring:73) as
+    regexp_extract + cast, whole-stage-codegen'd."""
+    p = tbl(spark, sf_dir, "part")
+    tagged = p.select(
+        "p_partkey",
+        F.expr("CASE p_partkey % 5 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' WHEN 2 THEN '1' "
+               "WHEN 3 THEN 'false' ELSE 'maybe' END").alias("flag"),
+        F.concat(F.col("p_size").cast("string"), F.lit("m")).alias("height"),
+        F.concat(F.lit("ref "), (F.col("p_partkey") % 97).cast("string"), F.lit(" end")).alias("reftag"))
+    return tagged.agg(
+        F.sum(F.when(F.col("flag").isin("no", "false", "0"), 0).otherwise(1)).cast("long").alias("n_true"),
+        F.sum(F.regexp_extract("height", r"^([0-9]+)m$", 1).cast("long")).cast("long").alias("total_m"),
+        F.sum(F.regexp_extract("reftag", r"([0-9]+)", 1).cast("long")).cast("long").alias("ref_sum"),
+        F.count("*").alias("n"))
+
+
+@query(
+    "cel_stdlib_ops",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(coalesce(nullif(o_custkey % 7, 0), -1)) AS BIGINT) AS coalesced_sum,
+           min(regexp_replace(o_orderpriority, '[0-9]-', '')) AS cleaned,
+           CAST(sum(least(o_custkey, 1000)) AS BIGINT) AS least_sum,
+           CAST(sum(greatest(o_custkey % 100, 50)) AS BIGINT) AS greatest_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def cel_stdlib_ops(spark, sf_dir):
+    """The YAML/CEL stdlib surface (PlanetilerStdLib: coalesce:38, nullif:60,
+    replaceRegex:68, min/max:165-174) mapped to Spark SQL equivalents."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce(F.nullif(F.col("o_custkey") % 7, F.lit(0)), F.lit(-1)))
+        .cast("long").alias("coalesced_sum"),
+        F.min(F.regexp_replace("o_orderpriority", "[0-9]-", "")).alias("cleaned"),
+        F.sum(F.least(F.col("o_custkey"), F.lit(1000))).cast("long").alias("least_sum"),
+        F.sum(F.greatest(F.col("o_custkey") % 100, F.lit(50))).cast("long").alias("greatest_sum"))
+
+
+_TX10, _TY10 = X.tile_x(_WXO, 10), X.tile_y(_WYO, 10)
+
+
+@query(
+    "tile_extents_filter",
+    f"""
+    WITH t AS (SELECT o_orderkey, {_TX10} AS tx, {_TY10} AS ty FROM orders)
+    SELECT count(*) AS n_in_bounds, min(o_orderkey) AS first_key,
+           CAST(sum(tx + ty) AS BIGINT) AS coord_sum
+    FROM t
+    WHERE tx BETWEEN 256 AND 767 AND ty BETWEEN 128 AND 895
+    """,
+)
+def tile_extents_filter(spark, sf_dir):
+    """Tile-extents bounds predicate (geo/TileExtents.java:14-70): x/y range
+    test at a zoom, pushed down as plain column predicates."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_TX10).alias("tx"), F.expr(_TY10).alias("ty"))
+    f = o.filter(F.col("tx").between(256, 767) & F.col("ty").between(128, 895))
+    return f.agg(F.count("*").alias("n_in_bounds"),
+                 F.min("o_orderkey").alias("first_key"),
+                 F.sum(F.col("tx") + F.col("ty")).cast("long").alias("coord_sum"))
+
+
+def _min_zoom_case(size_expr: str, max_zoom: int = 14) -> str:
+    """Smallest z with size*256*2^z >= 1px, in exact power-of-two comparisons
+    (GeoUtils.minZoomForPixelSize:606 without libm log2 — portable)."""
+    branches = " ".join(
+        f"WHEN ({size_expr}) * {256 * (1 << z)} >= 1.0 THEN {z}"
+        for z in range(0, max_zoom))
+    return f"(CASE {branches} ELSE {max_zoom} END)"
+
+
+@query(
+    "min_zoom_histogram",
+    f"""
+    SELECT {_min_zoom_case(_SIZE)} AS min_zoom, count(*) AS n, min(p_partkey) AS first
+    FROM part GROUP BY 1
+    """,
+)
+def min_zoom_histogram(spark, sf_dir):
+    """Min-zoom prefilter (GeoUtils.minZoomForPixelSize:606 +
+    FeatureRenderer.java:71-95): lowest zoom where a feature reaches 1px,
+    via exact power-of-two threshold CASE (no libm divergence)."""
+    p = tbl(spark, sf_dir, "part")
+    return (p.select(F.expr(_min_zoom_case(_SIZE)).alias("min_zoom"), "p_partkey")
+            .groupBy("min_zoom")
+            .agg(F.count("*").alias("n"), F.min("p_partkey").alias("first")))
+
+
+# ---------------------------------------------------------------------------
 # 4. relational anchors — Catalyst-native agg/join/window paths.
 # All money math converts to scaled BIGINT per row (exprs.money_cents) so the
 # aggregation is exact integer arithmetic in both engines (no FP order drift).
@@ -1023,6 +1401,63 @@ def knn_zone_centroids(spark, sf_dir):
         F.count("*").alias("n"),
         F.countDistinct("zone_id").alias("n_zones"),
         F.sum(F.expr("CAST(round(d2 * 1000000000) AS BIGINT)")).alias("sum_d2_ppb"))
+
+
+@query("zones_tileset")  # rows-only: polygon clip/fill/simplify not SQL
+def zones_tileset_q(spark, sf_dir):
+    """Polygon vector render path (TiledGeometry slice + DP simplify + interior
+    fill emission + MVT polygon encode) over the 520-zone fixture table."""
+    from ..operators import tile_pipeline as tp
+
+    tiles = tp.zones_tileset(spark, min_zoom=0, max_zoom=6)
+    return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
+
+
+@query("streaming_window_counts")  # rows-only: structured-streaming surface
+def streaming_window_counts(spark, sf_dir):
+    """Watermarked event-time windowed counts drained via availableNow —
+    the Structured Streaming surface (beyond the batch-only reference,
+    SURVEY §2.10); result equals the batch equivalent by construction."""
+    import tempfile
+    import uuid
+    from ..streaming import events as se
+
+    d = f"{tempfile.gettempdir()}/psq_stream_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4) \
+        .write.mode("overwrite").parquet(d)
+    stream = se.stream_events(spark, d)
+    name = f"winq_{uuid.uuid4().hex[:8]}"
+    out = se.run_available_now(se.windowed_event_counts(stream), name)
+    return out.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").alias("n_windows"))
+
+
+@query("archive_write_verify")  # rows-only: sqlite/pmtiles sinks not SQL
+def archive_write_verify(spark, sf_dir):
+    """Write the tileset to MBTiles (normalized, content-dedup'd) AND PMTiles
+    (hilbert-clustered, run-length), read both back, verify tile-for-tile
+    equality — the CompareArchives verification harness as a query."""
+    import tempfile
+    import uuid
+    from ..operators import tile_pipeline as tp
+    from ..sources import archives as ar
+    from ..sources import images as src
+
+    imgs = src.images_df(spark, _images_n(sf_dir, 300), partitions=8, with_bytes=False)
+    tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=6)
+    tiles.cache().count()
+    base = f"{tempfile.gettempdir()}/psq_arch_{uuid.uuid4().hex[:8]}"
+    mb = ar.write_mbtiles(tiles, base + ".mbtiles", normalized=True)
+    pm = ar.write_pmtiles(tiles, base + ".pmtiles")
+    a = ar.read_mbtiles(base + ".mbtiles")
+    b = ar.read_pmtiles(base + ".pmtiles")
+    match = sum(1 for k, v in a.items() if b.get(k) == v)
+    rows = [("mbtiles", mb["tiles"], mb["unique_blobs"]),
+            ("pmtiles", pm["tiles"], pm["unique_blobs"]),
+            ("match", match, len(a) - match)]
+    tiles.unpersist()
+    return spark.createDataFrame(rows, "archive string, n_tiles long, aux long")
 
 
 @query("hilbert_order")  # no oracle: Hilbert bit-twiddling is not ANSI-SQL-expressible

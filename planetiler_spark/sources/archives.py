@@ -1,0 +1,312 @@
+"""Tile archive sinks — MBTiles, PMTiles, files tree, CSV/JSON streams.
+
+Reference parity (SURVEY §2.2):
+  - MBTiles (mbtiles/Mbtiles.java:282-345): sqlite `tiles(z, col, row, data)`
+    with TMS row flip, plus the fork's NORMALIZED layout `tiles_shallow ⋈
+    tiles_data` deduping identical tile contents by id — here keyed by the
+    pipeline's content_hash (the order-free replacement for consecutive-tile
+    memoization, TileArchiveWriter.java:277-300).
+  - PMTiles v3 (pmtiles/WriteablePmtiles.java:40, Pmtiles.java:82-119 and the
+    public spec): Hilbert-clustered single file, varint directories, run-length
+    + offset dedup of identical tiles.
+  - Files archive (files/WriteableFilesArchive.java:47): {z}/{x}/{y}.pbf tree.
+  - CSV / JSON stream archives (stream/WriteableCsvArchive.java:68,
+    WriteableJsonStreamArchive.java:32): df.write, fully parallel.
+
+The single-file writers drain `toLocalIterator()` on the driver — mirroring
+the reference's dedicated ordered writer thread (TileArchiveWriter.java:128);
+the upstream DataFrame arrives already tile-ordered, so the driver never holds
+more than a partition. The parallel formats (files/csv/json) write from
+executors.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import sqlite3
+import struct
+
+import numpy as np
+
+from ..kernels import tile_math as tm
+
+
+# ---------------------------------------------------------------------------
+# MBTiles
+# ---------------------------------------------------------------------------
+
+def write_mbtiles(tiles_df, path: str, metadata: dict | None = None,
+                  normalized: bool = True) -> dict:
+    """tiles_df: (tile_id, zoom, x, y, tile_bytes, content_hash) -> sqlite.
+    normalized=True dedups identical tile contents (ocean tiles stored once)."""
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("PRAGMA journal_mode=OFF")
+    cur.execute("PRAGMA synchronous=OFF")
+    cur.execute("CREATE TABLE metadata (name text, value text)")
+    n = 0
+    uniq = 0
+    if normalized:
+        # fork's normalized schema (Mbtiles.java createTablesWithoutIndexes)
+        cur.execute("""CREATE TABLE tiles_data
+                       (tile_data_id integer primary key, tile_data blob)""")
+        cur.execute("""CREATE TABLE tiles_shallow
+                       (zoom_level integer, tile_column integer, tile_row integer,
+                        tile_data_id integer,
+                        primary key(zoom_level, tile_column, tile_row))
+                       WITHOUT ROWID""")
+        cur.execute("""CREATE VIEW tiles AS
+                       SELECT zoom_level, tile_column, tile_row, tile_data
+                       FROM tiles_shallow JOIN tiles_data USING (tile_data_id)""")
+        hash_to_id: dict[str, int] = {}
+        for r in tiles_df.toLocalIterator():
+            tid = hash_to_id.get(r.content_hash)
+            if tid is None:
+                tid = len(hash_to_id) + 1
+                hash_to_id[r.content_hash] = tid
+                cur.execute("INSERT INTO tiles_data VALUES (?, ?)",
+                            (tid, bytes(r.tile_bytes)))
+                uniq += 1
+            row = (1 << r.zoom) - 1 - r.y  # TMS flip (Mbtiles.java tileRow)
+            cur.execute("INSERT INTO tiles_shallow VALUES (?, ?, ?, ?)",
+                        (r.zoom, r.x, row, tid))
+            n += 1
+    else:
+        cur.execute("""CREATE TABLE tiles
+                       (zoom_level integer, tile_column integer, tile_row integer,
+                        tile_data blob)""")
+        for r in tiles_df.toLocalIterator():
+            row = (1 << r.zoom) - 1 - r.y
+            cur.execute("INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                        (r.zoom, r.x, row, bytes(r.tile_bytes)))
+            n += 1
+        cur.execute("CREATE UNIQUE INDEX tile_index ON tiles "
+                    "(zoom_level, tile_column, tile_row)")
+        uniq = n
+    meta = {"format": "pbf", "type": "overlay", "name": "planetiler_spark",
+            **(metadata or {})}
+    cur.executemany("INSERT INTO metadata VALUES (?, ?)",
+                    [(k, str(v)) for k, v in meta.items()])
+    con.commit()
+    con.close()
+    return {"tiles": n, "unique_blobs": uniq}
+
+
+def read_mbtiles(path: str) -> dict:
+    """{(z, x, y): bytes} with y back in XYZ orientation (for verification —
+    the analog of mbtiles/Verify.java + CompareArchives)."""
+    con = sqlite3.connect(path)
+    out = {}
+    for z, col, row, data in con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"):
+        out[(z, col, (1 << z) - 1 - row)] = data
+    con.close()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PMTiles v3 (public spec; reference pmtiles/Pmtiles.java)
+# ---------------------------------------------------------------------------
+
+_PM_MAGIC = b"PMTiles"
+_PM_HEADER_LEN = 127
+_MAX_ROOT_ENTRIES = 16384
+
+
+def _pm_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pm_dir(entries) -> bytes:
+    """Serialize directory: delta tile ids, runlengths, lengths, offsets
+    (Pmtiles.java directory layout / spec §directories)."""
+    buf = bytearray(_pm_varint(len(entries)))
+    last = 0
+    for tid, _, _, run in entries:
+        buf += _pm_varint(tid - last)
+        last = tid
+    for _, _, _, run in entries:
+        buf += _pm_varint(run)
+    for _, _, ln, _ in entries:
+        buf += _pm_varint(ln)
+    prev_off = prev_len = None
+    for _, off, ln, _ in entries:
+        if prev_off is not None and off == prev_off + prev_len:
+            buf += _pm_varint(0)  # contiguous shortcut
+        else:
+            buf += _pm_varint(off + 1)
+        prev_off, prev_len = off, ln
+    return gzip.compress(bytes(buf), mtime=0)
+
+
+def write_pmtiles(tiles_df, path: str, metadata: dict | None = None) -> dict:
+    """Hilbert-clustered single-file archive with run-length + content dedup.
+    tiles_df must carry (zoom, x, y, tile_bytes, content_hash)."""
+    rows = tiles_df.select("zoom", "x", "y", "tile_bytes", "content_hash").collect()
+    hz = tm.hilbert_encode(np.array([r.x for r in rows], dtype=np.int64),
+                           np.array([r.y for r in rows], dtype=np.int64),
+                           np.array([r.zoom for r in rows], dtype=np.int64))
+    order = np.argsort(hz, kind="mergesort")
+
+    data = bytearray()
+    offsets: dict[str, tuple[int, int]] = {}   # content dedup
+    entries: list[list[int]] = []              # [tid, off, len, run]
+    minz = maxz = None
+    for i in order:
+        r = rows[int(i)]
+        tid = int(hz[i])
+        blob = bytes(r.tile_bytes)
+        minz = r.zoom if minz is None else min(minz, r.zoom)
+        maxz = r.zoom if maxz is None else max(maxz, r.zoom)
+        got = offsets.get(r.content_hash)
+        if got is None:
+            got = (len(data), len(blob))
+            offsets[r.content_hash] = got
+            data += blob
+        off, ln = got
+        if entries and entries[-1][0] + entries[-1][3] == tid and \
+                entries[-1][1] == off and entries[-1][2] == ln:
+            entries[-1][3] += 1  # run-length of identical consecutive tiles
+        else:
+            entries.append([tid, off, ln, 1])
+    if len(entries) > _MAX_ROOT_ENTRIES:
+        raise NotImplementedError(
+            f"{len(entries)} entries > {_MAX_ROOT_ENTRIES}: leaf directories "
+            "not implemented in this sandbox build")
+    root = _pm_dir([tuple(e) for e in entries])
+    meta_bytes = gzip.compress(json.dumps(metadata or {}).encode(), mtime=0)
+
+    root_off = _PM_HEADER_LEN
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta_bytes)
+    data_off = leaf_off
+    hdr = bytearray(_PM_HEADER_LEN)
+    hdr[0:7] = _PM_MAGIC
+    hdr[7] = 3  # spec version
+    struct.pack_into("<QQQQQQQQ", hdr, 8,
+                     root_off, len(root), meta_off, len(meta_bytes),
+                     leaf_off, 0, data_off, len(data))
+    struct.pack_into("<QQ", hdr, 72, len(offsets), len(rows))
+    hdr[96] = 1   # clustered
+    hdr[97] = 2   # internal compression: gzip
+    hdr[98] = 2   # tile compression: gzip
+    hdr[99] = 1   # tile type: mvt
+    hdr[100] = minz or 0
+    hdr[101] = maxz or 0
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(root)
+        f.write(meta_bytes)
+        f.write(bytes(data))
+    return {"tiles": len(rows), "entries": len(entries),
+            "unique_blobs": len(offsets), "bytes": data_off + len(data)}
+
+
+def read_pmtiles(path: str) -> dict:
+    """{(z, x, y): bytes} — verification reader."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:7] == _PM_MAGIC and buf[7] == 3
+    (root_off, root_len, _mo, _ml, _lo, _ll, data_off, _dl) = struct.unpack_from("<QQQQQQQQ", buf, 8)
+    raw = gzip.decompress(buf[root_off:root_off + root_len])
+    pos = 0
+
+    def rv():
+        nonlocal pos
+        out = shift = 0
+        while True:
+            b = raw[pos]
+            pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    n = rv()
+    tids = []
+    last = 0
+    for _ in range(n):
+        last += rv()
+        tids.append(last)
+    runs = [rv() for _ in range(n)]
+    lens = [rv() for _ in range(n)]
+    offs = []
+    for i in range(n):
+        v = rv()
+        offs.append(offs[-1] + lens[i - 1] if v == 0 else v - 1)
+    out = {}
+    for tid, run, ln, off in zip(tids, runs, lens, offs):
+        for k in range(run):
+            x, y, z = tm.hilbert_decode(np.int64(tid + k))
+            out[(int(z), int(x), int(y))] = buf[data_off + off:data_off + off + ln]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# files archive + stream archives
+# ---------------------------------------------------------------------------
+
+def write_files_archive(tiles_df, base: str, metadata: dict | None = None) -> int:
+    """{base}/{z}/{x}/{y}.pbf tree (TileSchemeEncoding z/x/y default),
+    written in parallel from executors via foreachPartition."""
+    os.makedirs(base, exist_ok=True)
+
+    def write_part(it):
+        for r in it:
+            d = os.path.join(base, str(r.zoom), str(r.x))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r.y}.pbf"), "wb") as f:
+                f.write(bytes(r.tile_bytes))
+
+    tiles_df.select("zoom", "x", "y", "tile_bytes").foreachPartition(write_part)
+    with open(os.path.join(base, "metadata.json"), "w") as f:
+        json.dump({"format": "pbf", **(metadata or {})}, f)
+    n = 0
+    for z in os.listdir(base):
+        if z.isdigit():
+            for x in os.listdir(os.path.join(base, z)):
+                n += len(os.listdir(os.path.join(base, z, x)))
+    return n
+
+
+def read_files_archive(base: str) -> dict:
+    out = {}
+    for z in os.listdir(base):
+        if not z.isdigit():
+            continue
+        for x in os.listdir(os.path.join(base, z)):
+            for fn in os.listdir(os.path.join(base, z, x)):
+                with open(os.path.join(base, z, x, fn), "rb") as f:
+                    out[(int(z), int(x), int(fn.split(".")[0]))] = f.read()
+    return out
+
+
+def write_csv_archive(tiles_df, path: str, base64_data: bool = True):
+    """Streaming CSV archive (stream/WriteableCsvArchive.java:68): one line per
+    tile, data base64'd — parallel df.write."""
+    from pyspark.sql import functions as F
+    enc = (F.regexp_replace(F.base64("tile_bytes"), "[\\r\\n]", "")
+           if base64_data else F.hex("tile_bytes"))
+    df = tiles_df.select("x", "y", "zoom", enc.alias("encoded_data"))
+    df.write.mode("overwrite").csv(path)
+
+
+def write_json_archive(tiles_df, path: str):
+    """Streaming JSON archive (stream/WriteableJsonStreamArchive.java:32)."""
+    from pyspark.sql import functions as F
+    df = tiles_df.select(
+        F.col("x"), F.col("y"), F.col("zoom").alias("z"),
+        F.regexp_replace(F.base64("tile_bytes"), "[\\r\\n]", "").alias("encoded_data"))
+    df.write.mode("overwrite").json(path)

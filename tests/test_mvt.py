@@ -81,6 +81,47 @@ def test_deterministic_bytes():
     assert build() == build()  # gzip mtime pinned -> content-hash dedup works
 
 
+def test_point_stream_matches_builder():
+    """The vectorized PointTileStream must decode identically to the
+    LayerBuilder slow path (geometry, attrs, order) for random batches."""
+    rng = np.random.default_rng(7)
+    n = 500
+    tids = np.sort(rng.integers(100, 140, n))
+    ex = rng.integers(-300, 4400, n)
+    ey = rng.integers(-300, 4400, n)
+    sk = rng.integers(-3000, 3000, n)
+    ids = np.array([f"img{i:012d}" for i in range(n)], dtype=object)
+    caps = np.array([f"caption for img{i} at tile 14/{i % 50}/{i % 31}" for i in range(n)], dtype=object)
+
+    starts = np.nonzero(np.diff(tids, prepend=tids[0] - 1))[0]
+    ends = np.append(starts[1:], n)
+    stream = mvt.PointTileStream(ex, ey, sk, ids, caps)
+    fast = list(stream.encode_tiles(starts, ends))
+
+    for g, (s, e) in enumerate(zip(starts, ends)):
+        layer = mvt.LayerBuilder("images")
+        for i in range(s, e):
+            layer.add_feature(None, mvt.GEOM_POINT,
+                              [9, mvt.zigzag(int(ex[i])), mvt.zigzag(int(ey[i]))],
+                              {"image_id": ids[i], "caption": caps[i],
+                               "sort_key": int(sk[i])})
+        slow = mvt.decode_tile(mvt.encode_tile([layer]))
+        got = mvt.decode_tile(fast[g])
+        assert list(got) == ["images"]
+        assert len(got["images"]) == len(slow["images"])
+        for fa, fb in zip(got["images"], slow["images"]):
+            assert fa["attrs"] == fb["attrs"]
+            np.testing.assert_array_equal(fa["geometry"][0], fb["geometry"][0])
+
+
+def test_varint_matrix():
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2097151, 2097152,
+                     268435455, 268435456, (1 << 34)])
+    B, L = mvt.varint_matrix(vals)
+    for i, v in enumerate(vals):
+        assert bytes(B[i, :L[i]]) == mvt._varint(int(v)), v
+
+
 def test_key_value_interning():
     layer = mvt.LayerBuilder("l")
     for i in range(3):
