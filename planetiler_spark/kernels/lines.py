@@ -1,0 +1,299 @@
+"""Line & ring kernels: VW simplify, midpoint smoothing, substring, stroke
+merging, multipolygon ring assembly.
+
+Reference lineage (planetiler-core/src/main/java/com/onthegomap/planetiler/):
+  - Visvalingam-Whyatt w/ weighted area:  geo/VWSimplifier.java:20-45
+  - midpoint smoothing:                   geo/MidpointSmoother.java:69
+  - sub-line extraction:                  geo/LineSplitter.java:19 (get:53)
+  - stroke merge / stubs / min length:    util/LoopLineMerger.java:40
+    (setMinLength:71, setStubMinLength:93, mergeStrokes:124,
+     getMergedLineStrings:386)
+  - multipolygon ring assembly:           reader/osm/OsmMultipolygon.java:47-55
+    (connect matching endpoints -> rings, sort by area desc, alternate
+     outer/inner by containment nesting; algorithm ported by the reference
+     from imposm3, reimplemented here from the documented steps)
+
+Pure numpy/dict kernels — they run inside per-tile pandas groups where the
+whole group fits in memory (the reference runs them per tile too).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from . import geom as gk
+
+
+# --- Visvalingam-Whyatt (VWSimplifier.java:20-45) ---------------------------
+
+def vw_simplify(coords: np.ndarray, tolerance: float, weight: float = 0.0,
+                is_ring: bool = False) -> np.ndarray:
+    """Remove vertices in order of (weighted) effective triangle area until
+    every remaining vertex's area >= tolerance^2-ish. `tolerance` is a length
+    like DP's; a point survives if its triangle area >= tolerance^2.
+    `weight` sharpens/flattens spikes (VWSimplifier setWeight:38-41 semantics:
+    effective area scaled by (1 + weight*cos(theta))-style factor; weight=0 is
+    classic VW)."""
+    n = len(coords)
+    min_pts = 4 if is_ring else 2
+    if n <= min_pts or tolerance < 0:
+        return coords
+    thresh = tolerance * tolerance
+    x, y = coords[:, 0].copy(), coords[:, 1].copy()
+    prev = np.arange(n) - 1
+    nxt = np.arange(n) + 1
+    alive = np.ones(n, dtype=bool)
+
+    def tri_area(i):
+        a, b = prev[i], nxt[i]
+        if a < 0 or b >= n:
+            return np.inf
+        area = 0.5 * abs((x[b] - x[a]) * (y[i] - y[a]) - (x[i] - x[a]) * (y[b] - y[a]))
+        if weight:
+            v1 = np.array([x[i] - x[a], y[i] - y[a]])
+            v2 = np.array([x[b] - x[i], y[b] - y[i]])
+            nv = np.linalg.norm(v1) * np.linalg.norm(v2)
+            cos = float(v1 @ v2) / nv if nv > 0 else 1.0
+            area *= max(1.0 - weight * cos, 1e-9)
+        return area
+
+    heap = [(tri_area(i), i) for i in range(1, n - 1)]
+    heapq.heapify(heap)
+    n_alive = n
+    while heap:
+        area, i = heapq.heappop(heap)
+        if not alive[i]:
+            continue
+        cur = tri_area(i)
+        if cur > area:  # stale entry
+            heapq.heappush(heap, (cur, i))
+            continue
+        if cur >= thresh or n_alive <= min_pts:
+            break
+        alive[i] = False
+        n_alive -= 1
+        a, b = prev[i], nxt[i]
+        nxt[a] = b
+        prev[b] = a
+        for j in (a, b):
+            if 0 < j < n - 1 and alive[j]:
+                heapq.heappush(heap, (tri_area(j), j))
+    return coords[alive]
+
+
+# --- midpoint smoothing (MidpointSmoother.java:69) ---------------------------
+
+def midpoint_smooth(coords: np.ndarray, iters: int = 1,
+                    is_ring: bool = False) -> np.ndarray:
+    """Replace the line with the midpoints of each segment, keeping endpoints
+    for open lines (each pass rounds corners; the dual-midpoint variant is two
+    passes)."""
+    out = np.asarray(coords, dtype=np.float64)
+    for _ in range(iters):
+        if is_ring:
+            body = out[:-1]
+            mid = (body + np.roll(body, -1, axis=0)) / 2.0
+            out = np.vstack([mid, mid[:1]])
+        else:
+            mid = (out[:-1] + out[1:]) / 2.0
+            out = np.vstack([out[:1], mid, out[-1:]])
+    return out
+
+
+# --- sub-line extraction (LineSplitter.java:53, WithGeometry.partialLine:242) --
+
+def line_substring(coords: np.ndarray, start: float, end: float) -> np.ndarray:
+    """Portion of a line between fractional positions [start, end] of its
+    length (0..1), linear interpolation at the cut points."""
+    assert 0.0 <= start < end <= 1.0
+    seg = np.diff(coords, axis=0)
+    seglen = np.sqrt((seg * seg).sum(axis=1))
+    total = seglen.sum()
+    if total == 0:
+        return coords[:2].copy()
+    cum = np.concatenate([[0.0], np.cumsum(seglen)]) / total
+
+    def point_at(f):
+        i = int(np.searchsorted(cum, f, side="right") - 1)
+        i = min(i, len(seglen) - 1)
+        span = cum[i + 1] - cum[i]
+        t = 0.0 if span == 0 else (f - cum[i]) / span
+        return coords[i] + t * seg[i], i
+
+    p0, i0 = point_at(start)
+    p1, i1 = point_at(end)
+    mid = coords[i0 + 1:i1 + 1]
+    pts = [p0] + list(mid) + [p1]
+    out = [pts[0]]
+    for p in pts[1:]:
+        if not np.allclose(p, out[-1]):
+            out.append(p)
+    if len(out) < 2:
+        out = [p0, p1]
+    return np.asarray(out)
+
+
+# --- stroke merging (util/LoopLineMerger.java) --------------------------------
+
+def _key(pt: np.ndarray, grid: float) -> tuple[int, int]:
+    return (int(round(pt[0] / grid)), int(round(pt[1] / grid)))
+
+
+def merge_line_strings(lines: list[np.ndarray], min_length: float = 0.0,
+                       stub_min_length: float = 0.0,
+                       tolerance: float = -1.0,
+                       grid: float = 0.25) -> list[np.ndarray]:
+    """Merge touching linestrings into maximal strokes:
+      1. snap endpoints to a grid (tolerance precision, LoopLineMerger
+         setTolerance:105 rounds to 1/16 px by default),
+      2. repeatedly remove "stubs" — dangling edges shorter than
+         stub_min_length whose free end has degree 1 (removeShortStubEdges),
+      3. walk maximal degree-2 chains into merged strokes (mergeStrokes:124),
+      4. drop results shorter than min_length, DP-simplify if tolerance >= 0.
+    Deterministic: edges and walks ordered by first-seen input index
+    (output order = index of first element, FeatureMerge.java:91-99)."""
+    edges = []  # (a_key, b_key, coords, idx)
+    for idx, ln in enumerate(lines):
+        ln = np.asarray(ln, dtype=np.float64)
+        if len(ln) < 2:
+            continue
+        edges.append([_key(ln[0], grid), _key(ln[-1], grid), ln, idx])
+
+    # iterative stub removal
+    changed = True
+    while changed and stub_min_length > 0:
+        changed = False
+        deg: dict = {}
+        for a, b, ln, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = []
+        for e in edges:
+            a, b, ln, _ = e
+            # stub = short edge dangling at a degree-1 node, or a short
+            # self-loop collapsed by endpoint snapping (removeShortStubEdges
+            # + LoopLineMerger loop removal for sub-tolerance loops)
+            if gk.line_length(ln) < stub_min_length and \
+                    (a == b or deg.get(a, 0) == 1 or deg.get(b, 0) == 1):
+                changed = True
+                continue
+            keep.append(e)
+        edges = keep
+
+    # stroke walk: chain deg-2 nodes
+    deg: dict = {}
+    incident: dict = {}
+    for i, (a, b, ln, _) in enumerate(edges):
+        for k in (a, b):
+            deg[k] = deg.get(k, 0) + 1
+            incident.setdefault(k, []).append(i)
+    used = [False] * len(edges)
+    out = []
+    for i, (a, b, ln, idx) in enumerate(edges):
+        if used[i]:
+            continue
+        used[i] = True
+        chain = ln.copy()
+        first_idx = idx
+        # extend forward from b, then backward from a
+        for forward in (True, False):
+            cur_key = b if forward else a
+            while deg.get(cur_key, 0) == 2:
+                nbrs = [j for j in incident[cur_key] if not used[j]]
+                if len(nbrs) != 1:
+                    break
+                j = nbrs[0]
+                ja, jb, jl, jidx = edges[j]
+                used[j] = True
+                first_idx = min(first_idx, jidx)
+                piece = jl if ja == cur_key else jl[::-1]
+                nxt_key = jb if ja == cur_key else ja
+                if forward:
+                    chain = np.vstack([chain, piece[1:]])
+                else:
+                    chain = np.vstack([piece[::-1][:-1], chain])
+                cur_key = nxt_key
+        if gk.line_length(chain) >= min_length:
+            if tolerance >= 0:
+                chain = gk.simplify_dp(chain, tolerance)
+            out.append((first_idx, chain))
+    out.sort(key=lambda t: t[0])
+    return [c for _, c in out]
+
+
+# --- multipolygon assembly (OsmMultipolygon.java:47-55) -----------------------
+
+def assemble_multipolygon(ways: list[np.ndarray], grid: float = 1e-9
+                          ) -> list[list[np.ndarray]]:
+    """Member way geometries -> polygons:
+      1. connect ways whose endpoints match into closed rings,
+      2. drop unclosed leftovers (reference logs + skips),
+      3. sort rings by |area| desc,
+      4. nest: a ring contained in an odd number of bigger rings is a hole of
+         its smallest enclosing ring; else it starts a new polygon.
+    Returns a list of polygons, each a list of rings (shell first)."""
+    # 1. connect
+    open_chains = [np.asarray(w, dtype=np.float64) for w in ways if len(w) >= 2]
+    rings = []
+    progress = True
+    while progress:
+        progress = False
+        nxt_round = []
+        while open_chains:
+            ch = open_chains.pop(0)
+            if np.allclose(ch[0], ch[-1]) and len(ch) >= 4:
+                rings.append(ch)
+                progress = True
+                continue
+            attached = False
+            for i, other in enumerate(open_chains):
+                for flip_a in (False, True):
+                    a = ch[::-1] if flip_a else ch
+                    if np.allclose(a[-1], other[0]):
+                        open_chains[i] = np.vstack([a, other[1:]])
+                        attached = True
+                        break
+                    if np.allclose(a[-1], other[-1]):
+                        open_chains[i] = np.vstack([a, other[::-1][1:]])
+                        attached = True
+                        break
+                if attached:
+                    break
+            if attached:
+                progress = True
+            else:
+                nxt_round.append(ch)
+        open_chains = nxt_round
+    # 2-3. closed rings only, sorted by |area| desc (sortPolygonsByAreaDescending)
+    rings = [r for r in rings if abs(gk.ring_signed_area(r)) > 0]
+    rings.sort(key=lambda r: -abs(gk.ring_signed_area(r)))
+    # 4. nesting by containment parity
+    polys: list[list[np.ndarray]] = []
+    ring_depth: list[int] = []
+    for r in rings:
+        cx, cy = gk.ring_centroid(r)
+        depth = 0
+        parent = -1
+        for j in range(len(rings)):
+            other = rings[j]
+            if other is r or abs(gk.ring_signed_area(other)) <= abs(gk.ring_signed_area(r)):
+                continue
+            if gk.points_in_polygon(np.array([cx]), np.array([cy]), [other])[0]:
+                depth += 1
+        if depth % 2 == 0:
+            polys.append([r])
+            ring_depth.append(depth)
+        else:
+            # hole: attach to the most recent shell that contains it
+            attached = False
+            for p in reversed(polys):
+                shell = p[0]
+                if gk.points_in_polygon(np.array([cx]), np.array([cy]), [shell])[0]:
+                    p.append(r)
+                    attached = True
+                    break
+            if not attached:
+                polys.append([r])
+    return polys

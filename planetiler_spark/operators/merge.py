@@ -1,0 +1,106 @@
+"""Per-tile feature merging — FeatureMerge re-expressed on the tile reduce.
+
+Reference semantics (FeatureMerge.java):
+  - mergeLineStrings:101-231 — per attr-group, connect touching line pieces
+    into maximal strokes (LoopLineMerger), drop short stubs, min-length
+    filter; output order = index of first merged element (:91-99)
+  - mergeMultiPoint:116 / mergeMultiPolygon:126 — same-attr geometries
+    concatenated, members ordered by hilbert index (:154-157)
+  - groupByAttrs:434-439 — hash-group features by identical attrs
+
+The line demo source is the zones' boundaries (GeoUtils.polygonToLineString
+:443): rings sliced into per-tile pieces at render time, then re-merged into
+contiguous strokes inside each tile — slicing+merging round-trips the
+boundary length, which the tests assert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels import geom as gk
+from ..kernels import lines as lk
+from ..kernels import tile_math as tm
+from . import render as R
+from .tile_pipeline import _grouped_by_tile
+
+LINE_FEATURES_SCHEMA = ("key long, tile_id long, zoom int, zone_id string, "
+                        "kind string, parts binary")
+MERGED_SCHEMA = ("tile_id long, zoom int, zone_id string, kind string, "
+                 "n_pieces long, n_merged long, len_before double, len_after double")
+
+
+def render_boundary_lines(spark: SparkSession, min_zoom: int = 4,
+                          max_zoom: int = 7) -> DataFrame:
+    """zones -> boundary linestrings (polygonToLineString) -> per-tile line
+    pieces across zooms (TiledGeometry slicing, no simplification so merge
+    length checks are exact)."""
+    from ..sources import images as src
+
+    zones = spark.createDataFrame(src.zones_pdf())
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("key", "tile_id", "zoom", "zone_id", "kind", "parts")}
+            for r in pdf.itertuples(index=False):
+                typ, rings = gk.parse_wkb(bytes(r.wkb))
+                for z in range(min_zoom, max_zoom + 1):
+                    for tx, ty, parts in R.slice_line(rings[0], z, tol_px=-1.0):
+                        tid = int(tm.tile_encode(tx, ty, z))
+                        rows["key"].append(int(tm.encode_sort_key(tid, 2, 0, 0)))
+                        rows["tile_id"].append(tid)
+                        rows["zoom"].append(z)
+                        rows["zone_id"].append(r.zone_id)
+                        rows["kind"].append(r.kind)
+                        rows["parts"].append(gk.pack_parts(
+                            [np.round(p * 16).astype(np.int64) for p in parts]))
+            yield pd.DataFrame(rows)
+
+    return zones.repartition(16, "zone_id").mapInPandas(gen, LINE_FEATURES_SCHEMA)
+
+
+def merge_tile_lines(feats: DataFrame, min_length: float = 0.0,
+                     stub_min_length: float = 0.0,
+                     partitions: int | None = None) -> DataFrame:
+    """Per (tile, attr-group): merge touching line pieces into strokes
+    (mergeLineStrings semantics) — returns merge stats per group so results
+    stay verifiable without shipping geometry."""
+
+    def reduce_tiles(pdf: pd.DataFrame):
+        out = {k: [] for k in ("tile_id", "zoom", "zone_id", "kind",
+                               "n_pieces", "n_merged", "len_before", "len_after")}
+        for (tid, zid), grp in pdf.groupby(["tile_id", "zone_id"], sort=True):
+            pieces = []
+            for buf in grp["parts"]:
+                pieces.extend(p.astype(np.float64) / 16.0
+                              for p in gk.unpack_parts(bytes(buf)))
+            merged = lk.merge_line_strings(pieces, min_length=min_length,
+                                           stub_min_length=stub_min_length,
+                                           grid=1 / 16)
+            x, y, z = tm.tile_decode(np.int64(tid))
+            out["tile_id"].append(int(tid))
+            out["zoom"].append(int(z))
+            out["zone_id"].append(zid)
+            out["kind"].append(grp["kind"].iloc[0])
+            out["n_pieces"].append(len(pieces))
+            out["n_merged"].append(len(merged))
+            out["len_before"].append(float(sum(gk.line_length(p) for p in pieces)))
+            out["len_after"].append(float(sum(gk.line_length(m) for m in merged)))
+        yield pd.DataFrame(out)
+
+    shuffled, stream = _grouped_by_tile(feats, partitions, ["key", "zone_id"],
+                                        reduce_tiles)
+    return shuffled.mapInPandas(stream, MERGED_SCHEMA)
+
+
+def merge_points_by_attrs(df: DataFrame, attr_cols: list[str],
+                          x_col: str = "ex", y_col: str = "ey") -> DataFrame:
+    """mergeMultiPoint: same-attr points in a tile -> one multipoint feature
+    (member order = input order; count + centroid columns for verification)."""
+    from pyspark.sql import functions as F
+    return (df.groupBy("tile_id", *attr_cols)
+            .agg(F.count("*").alias("n_points"),
+                 F.sum(x_col).cast("long").alias("sum_x"),
+                 F.sum(y_col).cast("long").alias("sum_y")))

@@ -1413,6 +1413,79 @@ def zones_tileset_q(spark, sf_dir):
     return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
 
 
+# YAML "query language" (custommap ConfiguredProfile) — the SAME YAML compiles
+# to a Catalyst plan AND to the DuckDB oracle SQL via plans/profile.py.
+_PROFILE_YAML = """
+layers:
+- id: long_docs
+  features:
+  - include_when:
+      lang: [en, fr]
+      source: "%web%"
+    attributes:
+    - key: language
+      tag_value: lang
+- id: code
+  features:
+  - include_when:
+      __any__:
+      - lang: py
+      - source: "%github%"
+    exclude_when:
+      lang: de
+"""
+
+
+def _profile_oracle() -> str:
+    from . import profile as pr
+    rules = pr.parse_profile(_PROFILE_YAML)
+    colmap = {"lang": "lang", "source": "source"}
+    parts = []
+    for r in rules:
+        sql = pr.cond_to_sql(r.include_when, colmap)
+        if r.exclude_when:
+            sql = f"({sql}) AND NOT {pr.cond_to_sql(r.exclude_when, colmap)}"
+        parts.append(f"SELECT doc_id, '{r.layer}' AS layer FROM documents WHERE {sql}")
+    return ("WITH matches AS (" + " UNION ALL ".join(parts) + ") "
+            "SELECT layer, count(*) AS n, min(doc_id) AS first_doc "
+            "FROM matches GROUP BY layer")
+
+
+@query("yaml_profile_match", _profile_oracle())
+def yaml_profile_match(spark, sf_dir):
+    """The YAML schema query surface (custommap ConfiguredProfile,
+    SchemaConfig.java:45-51): rules compiled at the driver into Catalyst
+    filtered unions; the DuckDB oracle is generated from the SAME parsed
+    rule tree (plans/profile.py cond_to_sql), so matching semantics are
+    verified cross-engine."""
+    from . import profile as pr
+
+    rules = pr.parse_profile(_PROFILE_YAML)
+    d = tbl(spark, sf_dir, "documents").withColumn(
+        "tags", F.create_map(F.lit("lang"), F.col("lang"),
+                             F.lit("source"), F.col("source")))
+    matched = pr.apply_profile(d, rules)
+    return matched.groupBy("layer").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+
+
+@query("tile_line_merge")  # rows-only: per-tile stroke merging (FeatureMerge)
+def tile_line_merge(spark, sf_dir):
+    """Per-tile merge of touching boundary-line pieces into maximal strokes
+    (FeatureMerge.mergeLineStrings:101-231 / LoopLineMerger.java:40):
+    zone rings sliced per tile, re-merged inside the tile reduce; length is
+    conserved exactly (asserted in tests)."""
+    from ..operators import merge as mg
+
+    feats = mg.render_boundary_lines(spark, min_zoom=4, max_zoom=6)
+    merged = mg.merge_tile_lines(feats)
+    return merged.groupBy("zoom").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        F.sum("n_merged").cast("long").alias("n_strokes"),
+        F.sum(F.expr("CAST(round(len_before * 1000) AS BIGINT)")).alias("len_mils"))
+
+
 @query("streaming_window_counts")  # rows-only: structured-streaming surface
 def streaming_window_counts(spark, sf_dir):
     """Watermarked event-time windowed counts drained via availableNow —
