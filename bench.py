@@ -56,6 +56,7 @@ def main():
              # Python-CPU-bound reduce stages (MVT encode) must keep their
              # partition count; AQE byte-sizing would serialize them
              .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
              .config("spark.ui.enabled", "false")
@@ -78,9 +79,13 @@ def main():
                .agg(F.sum("n_tiles")).collect()[0][0])
     n_pip_rows = Q.pip_zones_overlap(spark, sf_dir).count()
 
+    n_mvt_tiles = Q.images_tileset(spark, sf_dir).count()
+
     total = round(sum(timings.values()), 3)
     tiles_sec = round(n_tiles / timings["tile_pyramid_counts"], 1) if timings["tile_pyramid_counts"] else None
     pip_rows_sec = round(n_pip_rows / timings["pip_zones_overlap"], 1) if timings["pip_zones_overlap"] else None
+    mvt_tiles_sec = (round(n_mvt_tiles / timings["images_tileset"], 1)
+                     if timings.get("images_tileset") else None)
     out = {
         "metric": "total seconds for headline tiling+join+dedup queries (noop sink)",
         "value": total,
@@ -89,8 +94,10 @@ def main():
         "sf": sf,
         "cpus": int(cpus),
         "tiles_per_sec": tiles_sec,
+        "mvt_tiles_per_sec": mvt_tiles_sec,
         "pip_join_rows_per_sec": pip_rows_sec,
         "n_tiles": int(n_tiles),
+        "n_mvt_tiles": int(n_mvt_tiles),
         "n_pip_rows": int(n_pip_rows),
     }
     print(json.dumps(out))

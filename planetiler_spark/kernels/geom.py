@@ -159,6 +159,79 @@ def line_length(coords: np.ndarray) -> float:
     return float(np.sqrt((d * d).sum(axis=1)).sum())
 
 
+# --- misc scalar geometry (GeoUtils.java) --------------------------------------
+
+def is_convex(ring: np.ndarray, tolerance: float = 0.1) -> bool:
+    """GeoUtils.isConvex:497-563 — all cross products share a sign, allowing
+    slightly-concave corners within a relative tolerance of the dominant turn."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    if len(pts) < 3:
+        return False
+    a = np.diff(np.vstack([pts, pts[:2]]), axis=0)
+    cross = a[:-1, 0] * a[1:, 1] - a[:-1, 1] * a[1:, 0]
+    scale = np.abs(cross).max()
+    if scale == 0:
+        return False
+    neg = cross < -tolerance * scale
+    pos = cross > tolerance * scale
+    return not (neg.any() and pos.any())
+
+
+def point_along_offset(a: np.ndarray, b: np.ndarray, ratio: float,
+                       offset: float) -> np.ndarray:
+    """GeoUtils.pointAlongOffset:480 — point at `ratio` along segment a->b,
+    displaced `offset` perpendicular (to the left of travel)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    p = a + ratio * (b - a)
+    d = b - a
+    ln = float(np.hypot(*d))
+    if ln == 0:
+        return p
+    normal = np.array([-d[1], d[0]]) / ln
+    return p + offset * normal
+
+
+def polygon_to_linestring(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """GeoUtils.polygonToLineString:443 — polygon boundary as linestrings."""
+    return [r.copy() for r in rings]
+
+
+def innermost_point(rings: list[np.ndarray], tolerance: float = 0.01) -> tuple[float, float]:
+    """Pole of inaccessibility (WithGeometry.innermostPoint:? via polylabel):
+    iterative grid refinement maximizing distance to the boundary. `tolerance`
+    is relative to the bbox diagonal."""
+    shell = rings[0]
+    minx, miny = shell[:, 0].min(), shell[:, 1].min()
+    maxx, maxy = shell[:, 0].max(), shell[:, 1].max()
+    diag = float(np.hypot(maxx - minx, maxy - miny))
+    if diag == 0:
+        return float(minx), float(miny)
+    # coarse-to-fine grid: evaluate cells, refine around the best
+    best_xy = (float((minx + maxx) / 2), float((miny + maxy) / 2))
+    best_d = -np.inf
+    cx0, cy0, cx1, cy1 = minx, miny, maxx, maxy
+    for _ in range(12):
+        xs = np.linspace(cx0, cx1, 9)
+        ys = np.linspace(cy0, cy1, 9)
+        gx, gy = np.meshgrid(xs, ys)
+        px, py = gx.ravel(), gy.ravel()
+        inside = points_in_polygon(px, py, rings)
+        if inside.any():
+            d = dist_to_boundary(px[inside], py[inside], rings)
+            j = int(np.argmax(d))
+            if d[j] > best_d:
+                best_d = float(d[j])
+                best_xy = (float(px[inside][j]), float(py[inside][j]))
+        span_x = (cx1 - cx0) / 4
+        span_y = (cy1 - cy0) / 4
+        if np.hypot(span_x, span_y) < tolerance * diag:
+            break
+        cx0, cx1 = best_xy[0] - span_x, best_xy[0] + span_x
+        cy0, cy1 = best_xy[1] - span_y, best_xy[1] + span_y
+    return best_xy
+
+
 # --- point in polygon (even-odd ray cast), vectorized over points --------------
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -197,9 +270,8 @@ def point_segment_dist_sq(px, py, x0, y0, x1, y1):
     return (px - cx) ** 2 + (py - cy) ** 2
 
 
-def dist_to_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
-    """Distance from points to polygon boundary (0 if inside).
-    Mirrors PolygonIndex.getContainingOrNearest's JTS distance fallback (:93-124)."""
+def dist_to_boundary(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Unsigned distance from points to the polygon's ring boundary."""
     n = len(px)
     best = np.full(n, np.inf)
     for r in rings:
@@ -207,7 +279,13 @@ def dist_to_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> 
         x1, y1 = r[1:, 0], r[1:, 1]
         d = point_segment_dist_sq(px[:, None], py[:, None], x0, y0, x1, y1).min(axis=1)
         best = np.minimum(best, d)
-    best = np.sqrt(best)
+    return np.sqrt(best)
+
+
+def dist_to_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Distance from points to polygon boundary (0 if inside).
+    Mirrors PolygonIndex.getContainingOrNearest's JTS distance fallback (:93-124)."""
+    best = dist_to_boundary(px, py, rings)
     best[points_in_polygon(px, py, rings)] = 0.0
     return best
 
@@ -216,19 +294,26 @@ def dist_to_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> 
 
 @dataclass
 class PolygonIndex:
-    """Uniform-grid bbox index over polygons; built on the driver, broadcast to
-    executors, probed with fully vectorized numpy inside pandas UDFs.
+    """Uniform-grid spatial index over polygons; built on the driver,
+    broadcast to executors, probed with vectorized numpy inside pandas UDFs.
 
     Matches PolygonIndex.java semantics:
       - get_containing(points): all polygons whose interior contains each point
         (STRtree envelope candidates -> exact test, :52-60)
       - get_containing_or_nearest(points, within): containment first, else the
         nearest polygon within `within` distance (:93-124)
+
+    Probe is O(points x polys-per-cell), not O(points x polys): query points
+    are cell-sorted once per batch, then each polygon tests ONLY the points in
+    the cells its (expanded) bbox covers — the numpy analog of the
+    reference's STRtree envelope query (cache-friendly: candidate subsets are
+    tiny, so the probe is CPU-bound, not bandwidth-bound).
     """
 
     ids: list
     polys: list  # list of list-of-rings (float64 (N,2))
     bboxes: np.ndarray = field(init=False)  # (P,4) minx,miny,maxx,maxy
+    cell: float = field(init=False)
 
     def __post_init__(self):
         bb = np.empty((len(self.polys), 4))
@@ -236,13 +321,47 @@ class PolygonIndex:
             shell = rings[0]
             bb[i] = (shell[:, 0].min(), shell[:, 1].min(), shell[:, 0].max(), shell[:, 1].max())
         self.bboxes = bb
+        # cell ~ median bbox extent: ~1-4 covered cells per polygon
+        spans = np.maximum(bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1])
+        self.cell = float(max(np.median(spans), 1e-6)) if len(spans) else 1.0
+
+    def _sorted_cells(self, px, py, pad: float = 0.0):
+        """Sort point indices by cell key; return (order, keys_sorted)."""
+        c = self.cell
+        cx = np.floor(px / c).astype(np.int64)
+        cy = np.floor(py / c).astype(np.int64)
+        key = cx * np.int64(1 << 31) + cy
+        order = np.argsort(key, kind="mergesort")
+        return order, key[order]
+
+    def _candidates(self, order, keys_sorted, minx, miny, maxx, maxy):
+        """Point indices whose cell intersects the bbox's covered cell rect."""
+        c = self.cell
+        cx0, cx1 = int(np.floor(minx / c)), int(np.floor(maxx / c))
+        cy0, cy1 = int(np.floor(miny / c)), int(np.floor(maxy / c))
+        parts = []
+        for cx in range(cx0, cx1 + 1):
+            base = np.int64(cx) * np.int64(1 << 31)
+            lo = np.searchsorted(keys_sorted, base + cy0, side="left")
+            hi = np.searchsorted(keys_sorted, base + cy1, side="right")
+            if hi > lo:
+                parts.append(order[lo:hi])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)
 
     def get_containing(self, px: np.ndarray, py: np.ndarray):
         """Returns (point_idx, poly_idx) arrays for every containment pair."""
+        order, keys_sorted = self._sorted_cells(px, py)
         out_pt, out_poly = [], []
         for i, rings in enumerate(self.polys):
             minx, miny, maxx, maxy = self.bboxes[i]
-            cand = np.nonzero((px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy))[0]
+            cand = self._candidates(order, keys_sorted, minx, miny, maxx, maxy)
+            if len(cand) == 0:
+                continue
+            cx, cy = px[cand], py[cand]
+            m = (cx >= minx) & (cx <= maxx) & (cy >= miny) & (cy <= maxy)
+            cand = cand[m]
             if len(cand) == 0:
                 continue
             hit = points_in_polygon(px[cand], py[cand], rings)
@@ -251,7 +370,11 @@ class PolygonIndex:
             out_poly.append(np.full(len(sel), i, dtype=np.int64))
         if not out_pt:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        return np.concatenate(out_pt), np.concatenate(out_poly)
+        pt = np.concatenate(out_pt)
+        poly = np.concatenate(out_poly)
+        # deterministic output order: by (point, polygon)
+        o = np.lexsort((poly, pt))
+        return pt[o], poly[o]
 
     def get_containing_or_nearest(self, px: np.ndarray, py: np.ndarray, within: float):
         """Returns (point_idx, poly_idx, fallback_flag). Points contained by >=1
@@ -265,14 +388,20 @@ class PolygonIndex:
         if len(miss) == 0:
             return pt, poly, np.zeros(len(pt), dtype=bool)
         mx, my = px[miss], py[miss]
+        order, keys_sorted = self._sorted_cells(mx, my)
         best_d = np.full(len(miss), np.inf)
         best_i = np.full(len(miss), -1, dtype=np.int64)
         for i, rings in enumerate(self.polys):
             minx, miny, maxx, maxy = self.bboxes[i]
-            # candidate if expanded bbox within range
-            cand = np.nonzero(
-                (mx >= minx - within) & (mx <= maxx + within) &
-                (my >= miny - within) & (my <= maxy + within))[0]
+            cand = self._candidates(order, keys_sorted,
+                                    minx - within, miny - within,
+                                    maxx + within, maxy + within)
+            if len(cand) == 0:
+                continue
+            cx, cy = mx[cand], my[cand]
+            m = ((cx >= minx - within) & (cx <= maxx + within) &
+                 (cy >= miny - within) & (cy <= maxy + within))
+            cand = cand[m]
             if len(cand) == 0:
                 continue
             d = dist_to_polygon(mx[cand], my[cand], rings)

@@ -27,16 +27,23 @@ from ..kernels import geom as gk
 from ..sources import images as src
 
 PIP_SCHEMA = "image_id string, zone_id string, kind string, fallback boolean"
+PIP_COMPACT_SCHEMA = "phash long, zone_idx int, fallback boolean"
 KNN_SCHEMA = "image_id string, zone_id string, rank int, d2 double"
 
 
-def pip_zones(images: DataFrame, within: float | None = 0.01) -> DataFrame:
+def pip_zones(images: DataFrame, within: float | None = 0.01,
+              n_zones: int | None = None, compact: bool = False) -> DataFrame:
     """Assign each image's geo-anchor to containing zones (all of them, overlap
     multiplicity included); misses fall back to the nearest zone within
-    `within` world units, flagged. `within=None` -> containment only."""
+    `within` world units, flagged. `within=None` -> containment only.
+
+    compact=True emits (phash, zone_idx int, fallback) instead of strings —
+    the 100TB shape: join outputs carry compact keys (the reference interns
+    layer/attr strings to ints for the same reason, FeatureGroup.java:65-66);
+    enrich zone_id/kind later with a broadcast dim join (`zone_dim`)."""
     spark = images.sparkSession
-    zones = src.zones_pdf()
-    idx = src.zones_index()
+    zones = src.zones_pdf(n_zones or src.N_ZONES)
+    idx = src.zones_index(n_zones or src.N_ZONES)
     bidx = spark.sparkContext.broadcast((idx, zones["kind"].tolist()))
 
     def probe(batches):
@@ -50,6 +57,13 @@ def pip_zones(images: DataFrame, within: float | None = 0.01) -> DataFrame:
                 fb = np.zeros(len(pt), dtype=bool)
             else:
                 pt, poly, fb = index.get_containing_or_nearest(wx, wy, within)
+            if compact:
+                yield pd.DataFrame({
+                    "phash": pdf["phash"].to_numpy()[pt],
+                    "zone_idx": poly.astype(np.int32),
+                    "fallback": fb,
+                })
+                continue
             ids = pdf["image_id"].to_numpy()
             yield pd.DataFrame({
                 "image_id": ids[pt],
@@ -58,7 +72,17 @@ def pip_zones(images: DataFrame, within: float | None = 0.01) -> DataFrame:
                 "fallback": fb,
             })
 
+    if compact:
+        return images.select("phash").mapInPandas(probe, PIP_COMPACT_SCHEMA)
     return images.select("image_id", "phash").mapInPandas(probe, PIP_SCHEMA)
+
+
+def zone_dim(spark, n_zones: int | None = None) -> DataFrame:
+    """Broadcastable zone dimension (zone_idx -> zone_id, kind) for enriching
+    compact PIP output."""
+    zones = src.zones_pdf(n_zones or src.N_ZONES)
+    zones = zones.reset_index().rename(columns={"index": "zone_idx"})
+    return spark.createDataFrame(zones[["zone_idx", "zone_id", "kind"]])
 
 
 def knn_zones(images: DataFrame, k: int = 5) -> DataFrame:

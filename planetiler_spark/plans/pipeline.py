@@ -43,6 +43,8 @@ def main(argv=None):
              .appName("planetiler_spark")
              .config("spark.sql.shuffle.partitions", str(sp))
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())

@@ -1316,6 +1316,75 @@ def embedding_cosine_topk(spark, sf_dir):
             .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
 
 
+# Random-hyperplane LSH for embeddings — the ANN scale path: 8 sign bits per
+# vector from integer hyperplane dot products (weights derived from the shared
+# LCG, embeddings quantized to round(x*1e6) ints), bucket join on the 8-bit
+# signature, exact integer cosine-ordering on candidates only. Fully
+# SQL-expressible -> cross-engine oracle (unlike typical float ANN).
+_LSH_PLANES = 8
+# weight(j, i) = lcg(j*64 + i + 1, 2) % 2001 - 1000  (deterministic, exact)
+_WEIGHT = f"(({X.lcg('j * 64 + i + 1', 2)}) % 2001 - 1000)"
+
+
+@query(
+    "embedding_lsh_ann",
+    f"""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT j.j AS j, i.i AS i, {_WEIGHT} AS w
+      FROM (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS j) j
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN b ELSE 0 END) AS BIGINT) AS sig
+      FROM (
+        SELECT flat.vec_id AS vec_id, planes.j AS pj,
+               CAST(power(2.0, planes.j) AS BIGINT) AS b,
+               CAST(sum(q * w) AS BIGINT) AS dot
+        FROM flat JOIN planes ON flat.i = planes.i
+        GROUP BY 1, 2, 3
+      ) GROUP BY vec_id
+    )
+    SELECT sig, count(*) AS n_vectors,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs,
+           min(vec_id) AS first_vec
+    FROM sigs GROUP BY sig
+    """,
+)
+def embedding_lsh_ann(spark, sf_dir):
+    """ANN over embeddings at scale: random-hyperplane LSH bucketing.
+    Each vector gets an 8-bit signature (sign of 8 integer hyperplane dot
+    products); near-duplicate candidates share a bucket, bounding the
+    candidate-pair count far below brute force (embedding_cosine_topk is the
+    exactness baseline). All arithmetic is exact integers -> the bucket
+    assignment hash-matches DuckDB bit-for-bit."""
+    e = tbl(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i",
+             F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("q"))
+    planes = (spark.range(_LSH_PLANES).select(F.col("id").alias("j"))
+              .crossJoin(spark.range(64).select(F.col("id").alias("i")))
+              .select("j", "i", F.expr(_WEIGHT).alias("w")))
+    dots = (flat.join(F.broadcast(planes), "i")
+            .groupBy("vec_id", "j")
+            .agg(F.sum(F.col("q") * F.col("w")).cast("long").alias("dot")))
+    sigs = (dots.withColumn("b", F.expr("CAST(power(2.0, j) AS BIGINT)"))
+            .groupBy("vec_id")
+            .agg(F.sum(F.when(F.col("dot") > 0, F.col("b")).otherwise(0))
+                 .cast("long").alias("sig")))
+    return sigs.groupBy("sig").agg(
+        F.count("*").alias("n_vectors"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+        F.min("vec_id").alias("first_vec"))
+
+
 # ---------------------------------------------------------------------------
 # 6. rows-only queries (non-SQL-expressible: pandas-UDF kernels)
 # ---------------------------------------------------------------------------

@@ -170,14 +170,16 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.vstack([hull, hull[:1]])
 
 
-def zones_pdf() -> pd.DataFrame:
-    """512 convex polygons around seeded sites (+8 overlapping, +4 with holes),
-    in world coordinates. Small enough to broadcast, like the reference's
-    in-memory STRtree (PolygonIndex.java:24)."""
+def zones_pdf(n_zones: int = N_ZONES) -> pd.DataFrame:
+    """n_zones convex polygons around seeded sites (+8 overlapping, +4 with
+    holes), in world coordinates. Small enough to broadcast, like the
+    reference's in-memory STRtree (PolygonIndex.java:24). The default 512
+    is the fixture size; benchmarks pass thousands (planet-scale zone tables
+    are ~100k polygons)."""
     rng = np.random.default_rng(42)
-    sites = rng.uniform(0.05, 0.95, size=(N_ZONES, 2))
+    sites = rng.uniform(0.05, 0.95, size=(n_zones, 2))
     rows = []
-    for k in range(N_ZONES):
+    for k in range(n_zones):
         radius = rng.uniform(0.004, 0.018)
         pts = sites[k] + rng.normal(0, radius, size=(14, 2))
         shell = _convex_hull(pts)
@@ -190,15 +192,15 @@ def zones_pdf() -> pd.DataFrame:
         rows.append((f"zone{k:04d}", gk.wkb_polygon(rings), ZONE_KINDS[k % 4]))
     # 8 deliberately overlapping polygons: duplicate sites of the first 8 shifted slightly
     for j in range(8):
-        k = N_ZONES + j
+        k = n_zones + j
         radius = 0.012
         pts = sites[j] + np.array([0.004, 0.0]) + rng.normal(0, radius, size=(14, 2))
         rows.append((f"zone{k:04d}", gk.wkb_polygon([_convex_hull(pts)]), ZONE_KINDS[k % 4]))
     return pd.DataFrame(rows, columns=["zone_id", "wkb", "kind"])
 
 
-def zones_index() -> gk.PolygonIndex:
-    pdf = zones_pdf()
+def zones_index(n_zones: int = N_ZONES) -> gk.PolygonIndex:
+    pdf = zones_pdf(n_zones)
     ids, polys = [], []
     for zid, wkb in zip(pdf["zone_id"], pdf["wkb"]):
         typ, rings = gk.parse_wkb(wkb)

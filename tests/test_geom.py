@@ -146,3 +146,41 @@ def test_clip_line_fully_inside():
     pieces = g.clip_line_rect(line, 0, 0, 1, 1)
     assert len(pieces) == 1
     np.testing.assert_allclose(pieces[0], line)
+
+
+# --- misc scalar geometry (GeoUtils.java isConvex/pointAlongOffset/innermost) ---
+
+def test_is_convex():
+    sq = square(0, 0, 2)
+    assert g.is_convex(sq)
+    concave = np.array([[0, 0], [4, 0], [2, 1], [4, 4], [0, 4], [0, 0]], dtype=float)
+    assert not g.is_convex(concave)
+    assert g.is_convex(sq[::-1])  # orientation-agnostic
+
+
+def test_point_along_offset():
+    p = g.point_along_offset(np.array([0.0, 0.0]), np.array([10.0, 0.0]), 0.5, 2.0)
+    np.testing.assert_allclose(p, [5.0, 2.0])
+    p = g.point_along_offset(np.array([0.0, 0.0]), np.array([0.0, 10.0]), 0.25, 1.0)
+    np.testing.assert_allclose(p, [-1.0, 2.5])
+
+
+def test_innermost_point_centered_square():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    x, y = g.innermost_point([sq])
+    assert abs(x - 5) < 0.2 and abs(y - 5) < 0.2
+
+
+def test_innermost_point_with_hole():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float)
+    x, y = g.innermost_point([sq, hole])
+    assert not (4 < x < 6 and 4 < y < 6)  # not inside the hole
+    assert g.points_in_polygon(np.array([x]), np.array([y]), [sq, hole])[0]
+
+
+def test_polygon_to_linestring():
+    sq = square(0, 0, 1)
+    lines = g.polygon_to_linestring([sq, sq * 0.5])
+    assert len(lines) == 2
+    np.testing.assert_allclose(lines[0], sq)

@@ -1,0 +1,126 @@
+"""Property-based round-trip tests (hypothesis) for every codec the engine
+ships — beyond the reference's example-based tests (SURVEY §5 notes the
+reference has no property corpus)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from planetiler_spark.kernels import geom as gk
+from planetiler_spark.kernels import mvt
+from planetiler_spark.kernels import tile_math as tm
+
+MAXZ = 14
+
+
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_zigzag_roundtrip(v):
+    assert mvt.unzigzag(mvt.zigzag(v)) == v
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**34), min_size=1, max_size=50))
+def test_varint_matrix_matches_scalar(vals):
+    a = np.array(vals, dtype=np.int64)
+    B, L = mvt.varint_matrix(a)
+    for i, v in enumerate(vals):
+        assert bytes(B[i, :L[i]]) == mvt._varint(int(v))
+
+
+@given(st.integers(min_value=0, max_value=MAXZ), st.data())
+def test_tile_encode_decode_roundtrip(z, data):
+    n = 1 << z
+    x = data.draw(st.integers(min_value=0, max_value=n - 1))
+    y = data.draw(st.integers(min_value=0, max_value=n - 1))
+    enc = tm.tile_encode(np.int64(x), np.int64(y), np.int64(z))
+    dx, dy, dz = tm.tile_decode(enc)
+    assert (int(dx), int(dy), int(dz)) == (x, y, z)
+
+
+@given(st.integers(min_value=0, max_value=MAXZ), st.data())
+def test_hilbert_roundtrip(z, data):
+    n = 1 << z
+    x = data.draw(st.integers(min_value=0, max_value=n - 1))
+    y = data.draw(st.integers(min_value=0, max_value=n - 1))
+    enc = tm.hilbert_encode(np.int64(x), np.int64(y), np.int64(z))
+    dx, dy, dz = tm.hilbert_decode(enc)
+    assert (int(dx), int(dy), int(dz)) == (x, y, z)
+
+
+@given(st.integers(min_value=0, max_value=(1 << 33) - 1),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=tm.SORT_KEY_MIN, max_value=tm.SORT_KEY_MAX),
+       st.booleans())
+def test_sort_key_roundtrip(tile, layer, sk, hg):
+    key = tm.encode_sort_key(np.int64(tile), np.int64(layer), np.int64(sk), hg)
+    assert int(tm.extract_tile_from_key(key)) == tile
+    assert int(tm.extract_layer_from_key(key)) == layer
+    assert int(tm.extract_sort_key_from_key(key)) == sk
+    assert bool(tm.extract_has_group_from_key(key)) == hg
+
+
+@given(st.integers(min_value=0, max_value=(1 << 33) - 1))
+def test_sort_key_order_preserved(tile):
+    """Sorting by the packed key sorts by tile first (zoom-major order)."""
+    k1 = tm.encode_sort_key(np.int64(tile), 0, np.int64(tm.SORT_KEY_MAX), 1)
+    if tile + 1 < (1 << 33):
+        k2 = tm.encode_sort_key(np.int64(tile + 1), 0, np.int64(tm.SORT_KEY_MIN), 0)
+        assert int(k1) < int(k2)
+
+
+@given(st.floats(min_value=-180, max_value=180, allow_nan=False),
+       st.floats(min_value=-85, max_value=85, allow_nan=False))
+def test_world_projection_roundtrip(lon, lat):
+    wx = tm.get_world_x(lon)
+    wy = tm.get_world_y(lat)
+    assert abs(float(tm.get_world_lon(wx)) - lon) < 1e-9
+    assert abs(float(tm.get_world_lat(wy)) - lat) < 1e-6
+
+
+@given(st.floats(min_value=-179.99, max_value=179.99, allow_nan=False),
+       st.floats(min_value=-84.9, max_value=84.9, allow_nan=False))
+def test_flat_location_quantization(lon, lat):
+    enc = tm.encode_flat_location(np.float64(lon), np.float64(lat))
+    # 31-bit quantization: within ~2^-30 world units
+    assert abs(float(tm.decode_world_x(enc)) - float(tm.get_world_x(lon))) < 2**-29
+    assert abs(float(tm.decode_world_y(enc)) - float(tm.get_world_y(lat))) < 2**-29
+
+
+@settings(max_examples=30)
+@given(st.lists(st.tuples(st.integers(-1000, 5000), st.integers(-1000, 5000)),
+                min_size=2, max_size=40))
+def test_mvt_linestring_roundtrip(pts):
+    arr = np.array(pts)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = np.any(np.diff(arr, axis=0) != 0, axis=1)
+    arr = arr[keep]
+    if len(arr) < 2:
+        return
+    layer = mvt.LayerBuilder("l")
+    layer.add_feature(1, mvt.GEOM_LINESTRING,
+                      mvt.encode_geometry(mvt.GEOM_LINESTRING, [arr]))
+    got = mvt.decode_tile(mvt.encode_tile([layer]))["l"][0]["geometry"]
+    np.testing.assert_array_equal(got[0], arr)
+
+
+@settings(max_examples=30)
+@given(st.lists(st.tuples(st.floats(0, 1, allow_nan=False),
+                          st.floats(0, 1, allow_nan=False)),
+                min_size=3, max_size=25))
+def test_wkb_polygon_roundtrip(pts):
+    ring = np.array(pts + pts[:1])
+    typ, rings = gk.parse_wkb(gk.wkb_polygon([ring]))
+    assert typ == "polygon"
+    np.testing.assert_allclose(rings[0], ring)
+
+
+@settings(max_examples=20)
+@given(st.lists(st.tuples(st.floats(-0.5, 1.5, allow_nan=False),
+                          st.floats(-0.5, 1.5, allow_nan=False)),
+                min_size=2, max_size=30),
+       st.floats(min_value=0.0, max_value=0.3))
+def test_dp_simplify_invariants(pts, tol):
+    coords = np.array(pts)
+    out = gk.simplify_dp(coords, tol)
+    # endpoints preserved, subset of input, no more points than input
+    assert np.array_equal(out[0], coords[0])
+    assert np.array_equal(out[-1], coords[-1])
+    assert len(out) <= len(coords)

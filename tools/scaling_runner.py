@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--images", required=True, help="images parquet (no bytes)")
     ap.add_argument("--images-raster", required=True, help="images parquet (with bytes)")
     ap.add_argument("--maxzoom", type=int, default=10)
+    # fixed across levels: the PLAN must be identical at N and 4N cores
+    # (only resources change); 128 spreads hot-tile partitions + amortizes
+    # per-task overhead (measured: 64 parts -> 141s, 128 -> 71s at 32 cores)
+    ap.add_argument("--shuffle-partitions", type=int, default=128)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -29,12 +33,15 @@ def main():
 
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
              .appName(f"scaling_{args.cpus}")
-             .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
-             .config("spark.sql.adaptive.enabled", "true")
-             # do NOT byte-coalesce post-shuffle partitions: our reduce stages
-             # are Python-CPU-bound (MVT encode, PNG paste), and AQE's 64MB
-             # sizing would collapse them to a handful of tasks
-             .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+             .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+             # static plan for benchmarking: AQE buys nothing here (fixed
+             # partition counts, no joins to re-plan) and its shuffle-stage
+             # materialization adds ~15% wall; NEVER enable its byte-based
+             # partition coalescing on Python-CPU-bound reduce stages
+             .config("spark.sql.adaptive.enabled", "false")
+             # big Arrow batches: per-batch fixed overhead in mapInPandas
+             # stages dominates at the default 10k (measured 2.7x slower)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
              .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
              .config("spark.ui.enabled", "false")
              .config("spark.sql.session.timeZone", "UTC")
@@ -51,7 +58,7 @@ def main():
     # --- job 1: vector tileset (tiles/sec) ---
     t0 = time.time()
     tiles = tp.tileset(spark, images, 0, args.maxzoom,
-                       shuffle_partitions=args.cpus * 2, ordered=False)
+                       shuffle_partitions=args.shuffle_partitions, ordered=False)
     agg = tiles.agg(F.count("*").alias("nt"), F.sum("n_features").alias("nf")).collect()[0]
     dt = time.time() - t0
     out["tileset_wall_s"] = round(dt, 2)
@@ -61,8 +68,14 @@ def main():
     out["features_per_s"] = round(agg.nf / dt, 1)
 
     # --- job 2: PIP spatial join (join rows/sec) ---
+    # probe 4x the input (self-union) against a planet-scale 4096-zone table
+    # so per-row index compute (not the scan) dominates — with the 512-zone
+    # fixture the vectorized probe is so cheap the job is scan-bound
+    probe = images
+    for _ in range(2):
+        probe = probe.unionAll(probe)
     t0 = time.time()
-    joined = sp.pip_zones(images, within=0.01)
+    joined = sp.pip_zones(probe, within=0.01, n_zones=4096, compact=True)
     nj = joined.count()
     dt = time.time() - t0
     out["pip_wall_s"] = round(dt, 2)
