@@ -104,3 +104,18 @@ def merge_points_by_attrs(df: DataFrame, attr_cols: list[str],
             .agg(F.count("*").alias("n_points"),
                  F.sum(x_col).cast("long").alias("sum_x"),
                  F.sum(y_col).cast("long").alias("sum_y")))
+
+
+def merge_multipolygon(polys: list[list[np.ndarray]], extent: int = 4096
+                       ) -> list[list[np.ndarray]]:
+    """FeatureMerge.mergeMultiPolygon:126 / mergeGeometries:141-162: same-attr
+    polygons concatenated into one multipolygon with members ordered by the
+    hilbert index of each polygon's first vertex (:154-157,
+    VectorTile.hilbertIndex:448) — deterministic, locality-preserving member
+    order independent of input order."""
+    def hkey(rings):
+        x = int(np.clip(rings[0][0, 0], 0, extent - 1)) * 32767 // max(extent - 1, 1)
+        y = int(np.clip(rings[0][0, 1], 0, extent - 1)) * 32767 // max(extent - 1, 1)
+        return int(tm.hilbert_xy_to_index(15, np.int64(x), np.int64(y)))
+
+    return sorted(polys, key=hkey)

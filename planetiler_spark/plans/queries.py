@@ -1385,6 +1385,76 @@ def embedding_lsh_ann(spark, sf_dir):
         F.min("vec_id").alias("first_vec"))
 
 
+@query(
+    "relation_membership",
+    f"""
+    WITH members AS (
+      SELECT l_orderkey AS way_id, l_partkey % 500 AS rel_id,
+             CASE l_linenumber % 3 WHEN 0 THEN 'outer' WHEN 1 THEN 'inner' ELSE 'member' END AS role
+      FROM lineitem
+    )
+    SELECT rel_id, role, count(*) AS n_members,
+           CAST(count(DISTINCT way_id) AS BIGINT) AS n_ways,
+           min(way_id) AS first_way
+    FROM members GROUP BY rel_id, role
+    """,
+)
+def relation_membership(spark, sf_dir):
+    """Way->relation membership with role payload (OsmReader.java:89-95,
+    :563-601, LongLongMultimap:23): the multimap is a groupBy over the
+    exploded membership table; the per-way lookup during pass2 is the same
+    broadcast-join primitive as way_node_join."""
+    li = tbl(spark, sf_dir, "lineitem")
+    members = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        (F.col("l_partkey") % 500).alias("rel_id"),
+        F.expr("CASE l_linenumber % 3 WHEN 0 THEN 'outer' WHEN 1 THEN 'inner' "
+               "ELSE 'member' END").alias("role"))
+    return members.groupBy("rel_id", "role").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("way_id").cast("long").alias("n_ways"),
+        F.min("way_id").alias("first_way"))
+
+
+@query("zone_label_points")  # rows-only: centroid/innermost-point kernels
+def zone_label_points(spark, sf_dir):
+    """Label-point emitters per zone — FeatureCollector's geometry transforms
+    (centroid, innermostPoint/pole-of-inaccessibility, convexity;
+    FeatureCollector.java:96-325, GeoUtils.isConvex:497): computed inside an
+    Arrow batch over the broadcast-size zones table, quantized to exact ints."""
+    import pandas as pd
+    from ..kernels import geom as gkk
+    from ..sources import images as src
+
+    zones = spark.createDataFrame(src.zones_pdf())
+
+    def compute(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("zone_id", "kind", "cx_q", "cy_q",
+                                    "ix_q", "iy_q", "convex", "area_q")}
+            for r in pdf.itertuples(index=False):
+                typ, rings = gkk.parse_wkb(bytes(r.wkb))
+                cx, cy = gkk.ring_centroid(rings[0])
+                ix, iy = gkk.innermost_point(rings, tolerance=0.05)
+                rows["zone_id"].append(r.zone_id)
+                rows["kind"].append(r.kind)
+                rows["cx_q"].append(int(round(cx * 1e9)))
+                rows["cy_q"].append(int(round(cy * 1e9)))
+                rows["ix_q"].append(int(round(ix * 1e9)))
+                rows["iy_q"].append(int(round(iy * 1e9)))
+                rows["convex"].append(bool(gkk.is_convex(rings[0])))
+                rows["area_q"].append(int(round(abs(gkk.ring_signed_area(rings[0])) * 1e12)))
+            yield pd.DataFrame(rows)
+
+    pts = zones.repartition(8).mapInPandas(
+        compute, "zone_id string, kind string, cx_q long, cy_q long, "
+                 "ix_q long, iy_q long, convex boolean, area_q long")
+    return pts.groupBy("kind", "convex").agg(
+        F.count("*").alias("n_zones"),
+        F.sum("area_q").cast("long").alias("total_area_q"),
+        F.min("zone_id").alias("first_zone"))
+
+
 # ---------------------------------------------------------------------------
 # 6. rows-only queries (non-SQL-expressible: pandas-UDF kernels)
 # ---------------------------------------------------------------------------

@@ -156,3 +156,17 @@ def test_assemble_reversed_pieces():
     pieces = [sq[0:3][::-1], sq[2:5]]  # first piece reversed
     polys = lk.assemble_multipolygon(pieces)
     assert len(polys) == 1
+
+
+# --- multipolygon member ordering (FeatureMerge.mergeGeometries:141-162) ------
+
+def test_merge_multipolygon_hilbert_order_deterministic():
+    from planetiler_spark.operators import merge as mg
+    a = [_square(100, 100, 50)]
+    b = [_square(3000, 3000, 50)]
+    c = [_square(100, 3000, 50)]
+    out1 = mg.merge_multipolygon([a, b, c])
+    out2 = mg.merge_multipolygon([c, a, b])  # different input order
+    for p1, p2 in zip(out1, out2):
+        np.testing.assert_allclose(p1[0], p2[0])
+    assert len(out1) == 3
