@@ -1625,6 +1625,36 @@ def tile_line_merge(spark, sf_dir):
         F.sum(F.expr("CAST(round(len_before * 1000) AS BIGINT)")).alias("len_mils"))
 
 
+@query("streaming_stateful_sessions")  # rows-only: applyInPandasWithState
+def streaming_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator: incremental 30-min-gap
+    sessionization via applyInPandasWithState (per-user open-session state
+    carried across micro-batches; closed sessions stream out append-mode).
+    Result aggregated; equality with batch sessionization is asserted in
+    tests/test_stateful_streaming.py."""
+    import time
+    import tempfile
+    import uuid
+    from ..streaming import events as se
+    from ..streaming import sessions as ss
+
+    d = f"{tempfile.gettempdir()}/psq_sess_{uuid.uuid4().hex[:8]}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    ev.filter(tsu <= med).coalesce(1).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    ev.filter(tsu > med).coalesce(1).write.mode("append").parquet(d)
+    stream = se.stream_events(spark, d)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    closed = se.run_available_now(ss.sessionize_stream(stream), name,
+                                  output_mode="append")
+    return closed.agg(
+        F.count("*").alias("n_closed_sessions"),
+        F.sum("n_events").cast("long").alias("n_events_in_closed"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
 @query("streaming_window_counts")  # rows-only: structured-streaming surface
 def streaming_window_counts(spark, sf_dir):
     """Watermarked event-time windowed counts drained via availableNow —

@@ -65,5 +65,17 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(300)
+    # stateful queries with processing-time timeouts stay pending after the
+    # available data drains (waiting for timeout triggers) — poll until no
+    # batches are in flight, then stop explicitly
+    import time as _t
+    deadline = _t.time() + 300
+    while _t.time() < deadline:
+        if q.awaitTermination(5):
+            break
+        st = q.status
+        if not st["isDataAvailable"] and not st["isTriggerActive"]:
+            break  # idle between triggers: safe to stop without aborting work
+    q.stop()
+    q.awaitTermination(60)
     return spark.table(query_name)
