@@ -76,6 +76,10 @@ def run_available_now(stream_df: DataFrame, query_name: str,
         st = q.status
         if not st["isDataAvailable"] and not st["isTriggerActive"]:
             break  # idle between triggers: safe to stop without aborting work
+        prog = q.recentProgress
+        if prog and prog[-1]["numInputRows"] == 0:
+            break  # drained: last epoch saw no input (stateful queries keep
+            # isDataAvailable pending on processing-time timeouts)
     q.stop()
     q.awaitTermination(60)
     return spark.table(query_name)
