@@ -106,6 +106,58 @@ def merge_points_by_attrs(df: DataFrame, attr_cols: list[str],
                  F.sum(y_col).cast("long").alias("sum_y")))
 
 
+MERGED_POLY_SCHEMA = ("tile_id long, zoom int, kind string, n_input long, "
+                      "n_rings long, area_in_px2 double, area_out_px2 double")
+
+
+def merge_tile_polygons(feats: DataFrame, min_dist_px: float = 0.0,
+                        min_area: float = 0.0,
+                        partitions: int | None = None) -> DataFrame:
+    """Per (tile, kind): union overlapping/nearby polygons at raster precision
+    (FeatureMerge.mergeOverlappingPolygons:291-300 / mergeNearbyPolygons
+    :323-394 via kernels/union.py). Input = zone polygon fragments from
+    render_zone_features (fill rows become full-tile squares). Outputs area
+    accounting: union area <= input area (overlaps collapse) and >= largest
+    input."""
+    from ..kernels import mvt
+    from ..kernels import union as un
+    from . import render as R
+
+    buf = R.BUFFER_PX * mvt.EXTENT / 256.0  # 64 extent units
+    lo, hi = -buf, mvt.EXTENT + buf  # raster window covers tile + buffer
+    full_tile = [np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi], [lo, lo]],
+                          dtype=float)]
+
+    def reduce_tiles(pdf: pd.DataFrame):
+        out = {k: [] for k in ("tile_id", "zoom", "kind", "n_input",
+                               "n_rings", "area_in_px2", "area_out_px2")}
+        for (tid, kind), grp in pdf.groupby(["tile_id", "kind"], sort=True):
+            polys = []
+            area_in = 0.0
+            for fill, buf in zip(grp["fill"], grp["parts"]):
+                rings = full_tile if fill else [
+                    p.astype(np.float64) for p in gk.unpack_parts(bytes(buf))]
+                polys.append(rings)
+                area_in += abs(gk.ring_signed_area(rings[0])) - sum(
+                    abs(gk.ring_signed_area(r)) for r in rings[1:])
+            merged = un.union_polygons(polys, grid=512,
+                                       min_dist_px=min_dist_px,
+                                       min_area=min_area, lo=lo, hi=hi)
+            x, y, z = tm.tile_decode(np.int64(tid))
+            out["tile_id"].append(int(tid))
+            out["zoom"].append(int(z))
+            out["kind"].append(kind)
+            out["n_input"].append(len(polys))
+            out["n_rings"].append(len(merged))
+            out["area_in_px2"].append(float(area_in))
+            out["area_out_px2"].append(float(-sum(gk.ring_signed_area(r) for r in merged)))
+        yield pd.DataFrame(out)
+
+    shuffled, stream = _grouped_by_tile(feats, partitions, ["key", "zone_id"],
+                                        reduce_tiles)
+    return shuffled.mapInPandas(stream, MERGED_POLY_SCHEMA)
+
+
 def merge_multipolygon(polys: list[list[np.ndarray]], extent: int = 4096
                        ) -> list[list[np.ndarray]]:
     """FeatureMerge.mergeMultiPolygon:126 / mergeGeometries:141-162: same-attr

@@ -1608,6 +1608,25 @@ def yaml_profile_match(spark, sf_dir):
         F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
 
 
+@query("tile_polygon_union")  # rows-only: raster-precision polygon union
+def tile_polygon_union(spark, sf_dir):
+    """Per-tile union of overlapping/nearby same-kind polygons
+    (FeatureMerge.mergeOverlappingPolygons:291-300 + mergeNearbyPolygons
+    :323-394) at raster precision (kernels/union.py: scanline fill +
+    morphological close + marching-squares trace) — geometry is about to snap
+    to the 4096 grid anyway, so sub-pixel union error is invisible."""
+    from ..operators import merge as mg
+    from ..operators import tile_pipeline as tp
+
+    feats = tp.render_zone_features(spark, min_zoom=4, max_zoom=5)
+    merged = mg.merge_tile_polygons(feats, min_dist_px=16.0)
+    return merged.groupBy("zoom", "kind").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_input").cast("long").alias("n_input_polys"),
+        F.sum("n_rings").cast("long").alias("n_output_rings"),
+        F.sum(F.expr("CAST(round(area_out_px2) AS BIGINT)")).alias("area_out"))
+
+
 @query("tile_line_merge")  # rows-only: per-tile stroke merging (FeatureMerge)
 def tile_line_merge(spark, sf_dir):
     """Per-tile merge of touching boundary-line pieces into maximal strokes

@@ -30,3 +30,22 @@ def test_single_boundary_in_interior_tile(merged):
     # a tile fully containing a small zone's boundary gets exactly 1 stroke
     singles = [r for r in merged if r.n_pieces >= 2 and r.n_merged == 1]
     assert len(singles) > 0
+
+
+def test_merge_tile_polygons_area_invariants(spark):
+    from planetiler_spark.operators import tile_pipeline as tp
+    feats = tp.render_zone_features(spark, min_zoom=4, max_zoom=5)
+    merged = mg.merge_tile_polygons(feats).collect()
+    assert len(merged) > 0
+    overlaps_collapsed = 0
+    for r in merged:
+        # union area can't exceed input sum (5% raster tolerance + buffer
+        # area beyond the tile is included in both)
+        assert r.area_out_px2 <= r.area_in_px2 * 1.05 + 1000, r
+        # sub-pixel-THIN slivers legitimately vanish (same as the reference's
+        # min-pixel-size drop); anything with real 2-D extent must survive
+        if r.area_in_px2 > 4000:
+            assert r.n_rings >= 1, r
+        if r.n_input > 1 and r.area_out_px2 < r.area_in_px2 * 0.98:
+            overlaps_collapsed += 1
+    assert overlaps_collapsed > 0  # overlapping twins actually merged
