@@ -293,27 +293,30 @@ class PointTileStream:
         put(Bzy, Lzy)
 
         # value stream: 3 entries per feature (img string, caption string,
-        # sort_key sint). Tight C-level loop; strings are ASCII here.
-        sk_entry = _sk_value_entry
+        # sort_key sint). A tight C-level join loop beats "vectorizing" with
+        # np.char here — numpy's string ufuncs are per-element and measured
+        # 11x SLOWER than this loop at 1M rows (2.0s vs 22.6s); object->U
+        # conversion alone costs more than the whole loop.
+        val_off, val_flat = self._build_values(n)
+        return off, buf.tobytes(), val_off, val_flat
+
+    def _build_values(self, n: int):
         pieces = []
         ap = pieces.append
         hdr_cache: dict[int, bytes] = {}
         for iid, cap, sk in zip(self._ids, self._caps, self._sk):
             ib = iid.encode()
             cb = cap.encode()
-            h1 = hdr_cache.get(len(ib))
-            if h1 is None:
-                h1 = hdr_cache[len(ib)] = (
-                    bytes([0x22]) + _varint(2 + len(ib)) + bytes([0x0A]) + _varint(len(ib)))
-            h2 = hdr_cache.get(len(cb))
-            if h2 is None:
-                h2 = hdr_cache[len(cb)] = (
-                    bytes([0x22]) + _varint(2 + len(cb)) + bytes([0x0A]) + _varint(len(cb)))
-            ap(h1 + ib + h2 + cb + sk_entry(int(sk)))
+            for b in (ib, cb):
+                if len(b) not in hdr_cache:
+                    hdr_cache[len(b)] = (bytes([0x22]) + _varint(2 + len(b))
+                                         + bytes([0x0A]) + _varint(len(b)))
+            ap(hdr_cache[len(ib)] + ib + hdr_cache[len(cb)] + cb
+               + _sk_value_entry(int(sk)))
         val_flat = b"".join(pieces)
         val_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(np.fromiter(map(len, pieces), dtype=np.int64, count=n), out=val_off[1:])
-        return off, buf.tobytes(), val_off, val_flat
+        return val_off, val_flat
 
     def encode_tiles(self, tile_starts: np.ndarray, tile_ends: np.ndarray,
                      compress: bool = True, compresslevel: int = 6):

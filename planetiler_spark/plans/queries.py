@@ -1479,7 +1479,7 @@ def images_tileset(spark, sf_dir):
     from ..sources import images as src
 
     imgs = src.images_df(spark, _images_n(sf_dir, 1200), partitions=16, with_bytes=False)
-    tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=8)
+    tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=11)
     return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
 
 
