@@ -1556,20 +1556,20 @@ def zones_tileset_q(spark, sf_dir):
 # to a Catalyst plan AND to the DuckDB oracle SQL via plans/profile.py.
 _PROFILE_YAML = """
 layers:
-- id: long_docs
+- id: latin_docs
   features:
   - include_when:
-      lang: [en, fr]
-      source: "%web%"
+      lang: [en, fr, es]
+      source: "%1%"        # src1, src10..src19
     attributes:
     - key: language
       tag_value: lang
-- id: code
+- id: east_or_first
   features:
   - include_when:
       __any__:
-      - lang: py
-      - source: "%github%"
+      - lang: zh
+      - source: "%src0%"
     exclude_when:
       lang: de
 """
