@@ -309,8 +309,10 @@ class PointTileStream:
             cb = cap.encode()
             for b in (ib, cb):
                 if len(b) not in hdr_cache:
-                    hdr_cache[len(b)] = (bytes([0x22]) + _varint(2 + len(b))
-                                         + bytes([0x0A]) + _varint(len(b)))
+                    inner = _varint(len(b))  # Value.string length varint
+                    hdr_cache[len(b)] = (bytes([0x22])
+                                         + _varint(1 + len(inner) + len(b))
+                                         + bytes([0x0A]) + inner)
             ap(hdr_cache[len(ib)] + ib + hdr_cache[len(cb)] + cb
                + _sk_value_entry(int(sk)))
         val_flat = b"".join(pieces)

@@ -75,8 +75,27 @@ def run_checkpointed(spark: SparkSession, images: DataFrame, out_dir: str,
     """Run the tileset per input bucket, skipping buckets already done with
     matching lineage. Returns the status rows of THIS run (skipped buckets
     excluded). Tiles land under out_dir/tiles/bucket=K/."""
+    import shutil
+
     lineage = _lineage_of(images, n_buckets)
     done = read_status(out_dir)
+    # Invalidate stale state: buckets that vanished from the input, or any
+    # status written under a different n_buckets (changed bucketing re-keys
+    # every bucket, so a stale tiles/bucket=K dir would otherwise be served
+    # as current output by the combined spark.read.parquet(out_dir/tiles)).
+    for b, st in list(done.items()):
+        if b not in lineage or st.get("n_buckets") != n_buckets:
+            sf = os.path.join(_status_dir(out_dir), f"{b}.json")
+            if os.path.exists(sf):
+                os.remove(sf)
+            shutil.rmtree(os.path.join(out_dir, "tiles", f"bucket={b}"),
+                          ignore_errors=True)
+            del done[b]
+    tiles_root = os.path.join(out_dir, "tiles")
+    if os.path.isdir(tiles_root):  # tile dirs with no surviving status are stale too
+        for d in os.listdir(tiles_root):
+            if d.startswith("bucket=") and int(d.split("=")[1]) not in done:
+                shutil.rmtree(os.path.join(tiles_root, d), ignore_errors=True)
     ran = []
     bucketed = images.withColumn("_bucket", F.pmod("phash", F.lit(n_buckets)))
     for b in sorted(lineage):
@@ -94,6 +113,7 @@ def run_checkpointed(spark: SparkSession, images: DataFrame, out_dir: str,
             F.count("*").alias("nt"), F.sum("n_features").alias("nf")).collect()[0]
         st = {
             "bucket": b,
+            "n_buckets": n_buckets,
             "lineage": lineage[b],
             "n_tiles": int(agg.nt),
             "n_features": int(agg.nf or 0),

@@ -162,8 +162,11 @@ def label_grid_thin(feats: DataFrame, limit: int = 64, grid_px: int = 32,
     with 10^6 features; stage 2 ranks the survivors exactly. Deterministic:
     full tie-breakers (sort_key, image_id) at both stages."""
     cell = grid_px * mvt.EXTENT // 256
-    gx = (F.col("ex") / cell).cast("long")
-    gy = (F.col("ey") / cell).cast("long")
+    # true floor division (matches _partial_thin / the in-reduce cap, which use
+    # `//`): buffer-zone features with negative ex/ey must land in cell -1, not
+    # the cast-truncated cell 0, or the three thinning tiers disagree
+    gx = F.floor(F.col("ex") / cell).cast("long")
+    gy = F.floor(F.col("ey") / cell).cast("long")
     salt = F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
     stage1 = (feats
               .withColumn("gx", gx).withColumn("gy", gy)
@@ -208,6 +211,11 @@ def _grouped_by_tile(df: DataFrame, partitions: int | None, order_cols: list[str
             if len(pdf) == 0:
                 continue
             tids = pdf["tile_id"].to_numpy()
+            # guard the sortedness precondition: searchsorted on an unsorted
+            # tids array would silently mis-group instead of erroring
+            if len(tids) > 1 and not np.all(tids[1:] >= tids[:-1]):
+                raise ValueError("_grouped_by_tile: batch not sorted by tile_id "
+                                 "(upstream sortWithinPartitions missing?)")
             if held and held_tile != tids[0]:
                 yield from reduce_fn(pd.concat(held, ignore_index=True)
                                      if len(held) > 1 else held[0])

@@ -620,7 +620,7 @@ def weighted_tile_stats(spark, sf_dir):
     "layer_attr_stats",
     """
     SELECT source AS layer,
-           list_sort(list(DISTINCT lang)) AS langs,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
            count(DISTINCT doc_id) AS n_docs
     FROM documents GROUP BY source
@@ -628,10 +628,12 @@ def weighted_tile_stats(spark, sf_dir):
 )
 def layer_attr_stats(spark, sf_dir):
     """Layer attribute schema inference (util/LayerAttrStats.java): per layer
-    the attr values seen + ranges, emitted as archive metadata."""
+    the attr values seen + ranges, emitted as archive metadata. The value set
+    is emitted as a sorted comma-joined scalar (the driver's canonicalizer
+    cannot hash array columns)."""
     d = tbl(spark, sf_dir, "documents")
     return d.groupBy(F.col("source").alias("layer")).agg(
-        F.sort_array(F.collect_set("lang")).alias("langs"),
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("doc_id").alias("n_docs"))
@@ -1706,7 +1708,10 @@ def archive_write_verify(spark, sf_dir):
     from ..sources import images as src
 
     imgs = src.images_df(spark, _images_n(sf_dir, 300), partitions=8, with_bytes=False)
-    tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=6)
+    # z0-11 at sf0.01 yields ~19k directory entries > 16384, so the PMTiles
+    # root spills into leaf directories — the flagship sink holding the
+    # flagship output, streamed (no driver collect of tile bytes)
+    tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=11)
     tiles.cache().count()
     base = f"{tempfile.gettempdir()}/psq_arch_{uuid.uuid4().hex[:8]}"
     mb = ar.write_mbtiles(tiles, base + ".mbtiles", normalized=True)
@@ -1716,6 +1721,7 @@ def archive_write_verify(spark, sf_dir):
     match = sum(1 for k, v in a.items() if b.get(k) == v)
     rows = [("mbtiles", mb["tiles"], mb["unique_blobs"]),
             ("pmtiles", pm["tiles"], pm["unique_blobs"]),
+            ("pmtiles_dirs", pm["entries"], pm["n_leaves"]),
             ("match", match, len(a) - match)]
     tiles.unpersist()
     return spark.createDataFrame(rows, "archive string, n_tiles long, aux long")

@@ -114,7 +114,7 @@ def read_mbtiles(path: str) -> dict:
 
 _PM_MAGIC = b"PMTiles"
 _PM_HEADER_LEN = 127
-_MAX_ROOT_ENTRIES = 16384
+_MAX_DIR_ENTRIES = 16384
 
 
 def _pm_varint(n: int) -> bytes:
@@ -151,54 +151,106 @@ def _pm_dir(entries) -> bytes:
     return gzip.compress(bytes(buf), mtime=0)
 
 
-def write_pmtiles(tiles_df, path: str, metadata: dict | None = None) -> dict:
-    """Hilbert-clustered single-file archive with run-length + content dedup.
-    tiles_df must carry (zoom, x, y, tile_bytes, content_hash)."""
-    rows = tiles_df.select("zoom", "x", "y", "tile_bytes", "content_hash").collect()
-    hz = tm.hilbert_encode(np.array([r.x for r in rows], dtype=np.int64),
-                           np.array([r.y for r in rows], dtype=np.int64),
-                           np.array([r.zoom for r in rows], dtype=np.int64))
-    order = np.argsort(hz, kind="mergesort")
+def _pm_build_dirs(entries, max_dir_entries: int = _MAX_DIR_ENTRIES):
+    """entries -> (root_bytes, leaves_bytes). If the entry list fits in one
+    directory it all goes in the root; otherwise entries are chunked into leaf
+    directories and the root holds one pointer entry per leaf
+    (run_length=0, offset into the leaf section — spec §3 semantics,
+    pmtiles/WriteablePmtiles.java:40 buildRootLeaves)."""
+    if len(entries) <= max_dir_entries:
+        return _pm_dir(entries), b"", 0
+    leaf_size = max_dir_entries
+    while (len(entries) + leaf_size - 1) // leaf_size > max_dir_entries:
+        leaf_size *= 2
+    root_entries = []
+    leaves = bytearray()
+    for i in range(0, len(entries), leaf_size):
+        chunk = entries[i:i + leaf_size]
+        ser = _pm_dir(chunk)
+        root_entries.append((chunk[0][0], len(leaves), len(ser), 0))
+        leaves += ser
+    return _pm_dir(root_entries), bytes(leaves), len(root_entries)
 
-    data = bytearray()
-    offsets: dict[str, tuple[int, int]] = {}   # content dedup
+
+def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
+                  max_dir_entries: int = _MAX_DIR_ENTRIES,
+                  dedup_cap: int = 1 << 22) -> dict:
+    """Hilbert-clustered single-file archive with run-length + content dedup
+    and root+leaf directories. tiles_df must carry (zoom, x, y, tile_bytes,
+    content_hash).
+
+    STREAMING: tile bytes never accumulate on the driver. The cluster sorts
+    globally by hilbert id (repartitionByRange + sortWithinPartitions — the
+    shuffle IS the sort), the driver drains toLocalIterator() one partition at
+    a time (the same ordered-writer-thread shape as write_mbtiles /
+    TileArchiveWriter.java:128) and appends blobs to a temp data file; only
+    the directory entries (4 ints per run) and a bounded content-dedup map
+    stay in memory. Directories follow the public PMTiles v3 spec
+    (pmtiles/Pmtiles.java:82-119): entries beyond max_dir_entries spill into
+    leaf directories with root pointer entries."""
+    import os as _os
+    from pyspark.sql import functions as F
+    from ..functions.geo import hilbert_of_tile
+
+    if "tile_id" in tiles_df.columns:
+        df = (tiles_df.select("tile_id", "zoom", "tile_bytes", "content_hash")
+              .withColumn("hilbert_id", hilbert_of_tile("tile_id")))
+    else:
+        @F.pandas_udf("long")
+        def _h(zoom, x, y):
+            import pandas as pd
+            return pd.Series(tm.hilbert_encode(
+                x.to_numpy(np.int64), y.to_numpy(np.int64), zoom.to_numpy(np.int64)))
+        df = (tiles_df.select("zoom", "x", "y", "tile_bytes", "content_hash")
+              .withColumn("hilbert_id", _h("zoom", "x", "y")))
+    ordered = (df.repartitionByRange("hilbert_id")
+               .sortWithinPartitions("hilbert_id"))
+
+    tmp_data = path + ".data.tmp"
     entries: list[list[int]] = []              # [tid, off, len, run]
+    offsets: dict[str, tuple[int, int]] = {}   # content dedup (bounded)
+    n_tiles = 0
+    data_len = 0
     minz = maxz = None
-    for i in order:
-        r = rows[int(i)]
-        tid = int(hz[i])
-        blob = bytes(r.tile_bytes)
-        minz = r.zoom if minz is None else min(minz, r.zoom)
-        maxz = r.zoom if maxz is None else max(maxz, r.zoom)
-        got = offsets.get(r.content_hash)
-        if got is None:
-            got = (len(data), len(blob))
-            offsets[r.content_hash] = got
-            data += blob
-        off, ln = got
-        if entries and entries[-1][0] + entries[-1][3] == tid and \
-                entries[-1][1] == off and entries[-1][2] == ln:
-            entries[-1][3] += 1  # run-length of identical consecutive tiles
-        else:
-            entries.append([tid, off, ln, 1])
-    if len(entries) > _MAX_ROOT_ENTRIES:
-        raise NotImplementedError(
-            f"{len(entries)} entries > {_MAX_ROOT_ENTRIES}: leaf directories "
-            "not implemented in this sandbox build")
-    root = _pm_dir([tuple(e) for e in entries])
+    with open(tmp_data, "wb") as dataf:
+        for r in ordered.toLocalIterator():
+            tid = int(r.hilbert_id)
+            blob = bytes(r.tile_bytes)
+            minz = r.zoom if minz is None else min(minz, r.zoom)
+            maxz = r.zoom if maxz is None else max(maxz, r.zoom)
+            got = offsets.get(r.content_hash)
+            if got is None:
+                got = (data_len, len(blob))
+                if len(offsets) < dedup_cap:  # bounded driver memory; dedup
+                    offsets[r.content_hash] = got  # beyond cap just stores dup
+                dataf.write(blob)
+                data_len += len(blob)
+            off, ln = got
+            n_tiles += 1
+            if entries and entries[-1][0] + entries[-1][3] == tid and \
+                    entries[-1][1] == off and entries[-1][2] == ln:
+                entries[-1][3] += 1  # run-length of identical consecutive tiles
+            else:
+                entries.append([tid, off, ln, 1])
+
+    n_contents = len(offsets)
+    root, leaves, n_leaves = _pm_build_dirs([tuple(e) for e in entries],
+                                            max_dir_entries)
     meta_bytes = gzip.compress(json.dumps(metadata or {}).encode(), mtime=0)
 
     root_off = _PM_HEADER_LEN
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta_bytes)
-    data_off = leaf_off
+    data_off = leaf_off + len(leaves)
     hdr = bytearray(_PM_HEADER_LEN)
     hdr[0:7] = _PM_MAGIC
     hdr[7] = 3  # spec version
     struct.pack_into("<QQQQQQQQ", hdr, 8,
                      root_off, len(root), meta_off, len(meta_bytes),
-                     leaf_off, 0, data_off, len(data))
-    struct.pack_into("<QQ", hdr, 72, len(offsets), len(rows))
+                     leaf_off, len(leaves), data_off, data_len)
+    # spec bytes 72/80/88: addressed tiles / tile entries / tile contents
+    # (Pmtiles.java:122-124)
+    struct.pack_into("<QQQ", hdr, 72, n_tiles, len(entries), n_contents)
     hdr[96] = 1   # clustered
     hdr[97] = 2   # internal compression: gzip
     hdr[98] = 2   # tile compression: gzip
@@ -209,18 +261,23 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None) -> dict:
         f.write(bytes(hdr))
         f.write(root)
         f.write(meta_bytes)
-        f.write(bytes(data))
-    return {"tiles": len(rows), "entries": len(entries),
-            "unique_blobs": len(offsets), "bytes": data_off + len(data)}
+        f.write(leaves)
+        with open(tmp_data, "rb") as dataf:  # stream-append, no full read
+            while True:
+                chunk = dataf.read(1 << 24)
+                if not chunk:
+                    break
+                f.write(chunk)
+    _os.remove(tmp_data)
+    return {"tiles": n_tiles, "entries": len(entries),
+            "unique_blobs": n_contents, "n_leaves": n_leaves,
+            "bytes": data_off + data_len}
 
 
-def read_pmtiles(path: str) -> dict:
-    """{(z, x, y): bytes} — verification reader."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    assert buf[:7] == _PM_MAGIC and buf[7] == 3
-    (root_off, root_len, _mo, _ml, _lo, _ll, data_off, _dl) = struct.unpack_from("<QQQQQQQQ", buf, 8)
-    raw = gzip.decompress(buf[root_off:root_off + root_len])
+def _pm_parse_dir(comp: bytes):
+    """Decompress + parse one serialized directory -> (tids, runs, lens, offs).
+    run == 0 marks a leaf-pointer entry (offset into the leaf section)."""
+    raw = gzip.decompress(comp)
     pos = 0
 
     def rv():
@@ -246,11 +303,29 @@ def read_pmtiles(path: str) -> dict:
     for i in range(n):
         v = rv()
         offs.append(offs[-1] + lens[i - 1] if v == 0 else v - 1)
+    return tids, runs, lens, offs
+
+
+def read_pmtiles(path: str) -> dict:
+    """{(z, x, y): bytes} — verification reader; follows leaf directories."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:7] == _PM_MAGIC and buf[7] == 3
+    (root_off, root_len, _mo, _ml, leaf_off, _ll, data_off, _dl) = \
+        struct.unpack_from("<QQQQQQQQ", buf, 8)
     out = {}
-    for tid, run, ln, off in zip(tids, runs, lens, offs):
-        for k in range(run):
-            x, y, z = tm.hilbert_decode(np.int64(tid + k))
-            out[(int(z), int(x), int(y))] = buf[data_off + off:data_off + off + ln]
+
+    def emit(tids, runs, lens, offs):
+        for tid, run, ln, off in zip(tids, runs, lens, offs):
+            if run == 0:  # leaf pointer: parse the referenced leaf directory
+                emit(*_pm_parse_dir(buf[leaf_off + off:leaf_off + off + ln]))
+                continue
+            for k in range(run):
+                x, y, z = tm.hilbert_decode(np.int64(tid + k))
+                out[(int(z), int(x), int(y))] = \
+                    buf[data_off + off:data_off + off + ln]
+
+    emit(*_pm_parse_dir(buf[root_off:root_off + root_len]))
     return out
 
 

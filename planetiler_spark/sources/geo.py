@@ -63,22 +63,23 @@ def read_geojson(spark: SparkSession, path: str, source: str = "geojson",
     read splittable/parallel as text (Spark's JSON schema inference coerces
     ragged coordinate arrays to strings, so geometry parses inside the UDF
     instead — mirroring the reference's streaming GeoJsonFeatureIterator)."""
-    raw = spark.read.text(path)
+    # globally unique feature ids even across partitions of a splittable
+    # multi-partition input: monotonically_increasing_id embeds the partition
+    # id in the high bits, so no two lines share an id
+    raw = spark.read.text(path).withColumn("_rid", F.monotonically_increasing_id())
 
     def conv(batches):
-        next_id = 0
         for pdf in batches:
             rows = {k: [] for k in ("id", "source", "layer", "tags", "geom_wkb",
                                     "minx", "miny", "maxx", "maxy")}
-            for line in pdf["value"]:
+            for line, rid in zip(pdf["value"], pdf["_rid"]):
                 if not line.strip():
                     continue
                 feat = json.loads(line)
                 geom = feat["geometry"]
                 props = feat.get("properties") or {}
                 wkb, x0, y0, x1, y1 = _geojson_geom_to_wkb(geom)
-                rows["id"].append(next_id)
-                next_id += 1
+                rows["id"].append(int(rid))
                 rows["source"].append(source)
                 rows["layer"].append(layer)
                 rows["tags"].append({k: str(v) for k, v in props.items()})

@@ -59,6 +59,57 @@ def test_pmtiles_roundtrip(tiles, tile_map, tmp_path_factory):
     assert os.path.getsize(path) == stats["bytes"]
 
 
+def test_pmtiles_leaf_directories(spark, tmp_path_factory):
+    """>16384 directory entries must spill into leaf directories (spec §3 /
+    WriteablePmtiles.java:40) and still round-trip tile-for-tile."""
+    import pandas as pd
+
+    n = 20000  # distinct z8 tiles -> 20000 entries > 16384 root cap
+    xs = [i % 256 for i in range(n)]
+    ys = [i // 256 for i in range(n)]
+    pdf = pd.DataFrame({
+        "zoom": [8] * n, "x": xs, "y": ys,
+        "tile_bytes": [f"tile-{i}".encode() for i in range(n)],
+        "content_hash": [f"h{i}" for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path_factory.mktemp("pml") / "big.pmtiles")
+    stats = ar.write_pmtiles(df, path)
+    assert stats["tiles"] == n
+    assert stats["n_leaves"] >= 2  # root holds pointers, not entries
+    got = ar.read_pmtiles(path)
+    assert len(got) == n
+    for i in (0, 1, 12345, n - 1):
+        assert got[(8, xs[i], ys[i])] == f"tile-{i}".encode()
+    # header stats (spec bytes 72/80/88): addressed / entries / contents
+    import struct as st
+    with open(path, "rb") as f:
+        hdr = f.read(127)
+    addressed, entries, contents = st.unpack_from("<QQQ", hdr, 72)
+    assert addressed == n and contents == n and entries >= 16384
+
+
+def test_pmtiles_dedup_and_runs(spark, tmp_path_factory):
+    """Identical consecutive tiles collapse to run-length entries and share
+    one stored blob."""
+    import pandas as pd
+
+    n = 64  # one z3 row of identical tiles + distinct ones
+    pdf = pd.DataFrame({
+        "zoom": [3] * n, "x": [i % 8 for i in range(n)], "y": [i // 8 for i in range(n)],
+        "tile_bytes": [b"ocean"] * 32 + [f"land-{i}".encode() for i in range(32)],
+        "content_hash": ["ocean"] * 32 + [f"l{i}" for i in range(32)],
+    })
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path_factory.mktemp("pmd") / "dedup.pmtiles")
+    stats = ar.write_pmtiles(df, path)
+    assert stats["unique_blobs"] == 33
+    assert stats["entries"] < stats["tiles"]  # hilbert-adjacent oceans run-length'd
+    got = ar.read_pmtiles(path)
+    assert len(got) == n
+    assert got[(3, 0, 0)] == b"ocean"
+
+
 def test_files_archive_roundtrip(tiles, tile_map, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("files") / "tree")
     n = ar.write_files_archive(tiles, base)

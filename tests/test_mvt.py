@@ -114,6 +114,35 @@ def test_point_stream_matches_builder():
             np.testing.assert_array_equal(fa["geometry"][0], fb["geometry"][0])
 
 
+def test_point_stream_long_strings():
+    """Value-stream headers for strings whose length varint is >1 byte: the
+    outer Value-message length must be 1 + len(varint(len)) + len, not the
+    1-byte-varint shortcut (silent protobuf corruption for >=128-byte attrs)."""
+    n = 4
+    tids = np.array([5, 5, 6, 6])
+    ex = np.array([10, 20, 30, 40])
+    ey = np.array([1, 2, 3, 4])
+    sk = np.array([0, 1, 2, 3])
+    ids = np.array(["i" * 127, "j" * 128, "k" * 300, "m" * 16500], dtype=object)
+    caps = np.array(["c" * 128, "d" * 5, "e" * 129, "f" * 200], dtype=object)
+
+    starts = np.array([0, 2])
+    ends = np.array([2, 4])
+    fast = list(mvt.PointTileStream(ex, ey, sk, ids, caps).encode_tiles(starts, ends))
+    for g, (s, e) in enumerate(zip(starts, ends)):
+        layer = mvt.LayerBuilder("images")
+        for i in range(s, e):
+            layer.add_feature(None, mvt.GEOM_POINT,
+                              [9, mvt.zigzag(int(ex[i])), mvt.zigzag(int(ey[i]))],
+                              {"image_id": ids[i], "caption": caps[i],
+                               "sort_key": int(sk[i])})
+        slow = mvt.decode_tile(mvt.encode_tile([layer]))
+        got = mvt.decode_tile(fast[g])
+        assert len(got["images"]) == len(slow["images"])
+        for fa, fb in zip(got["images"], slow["images"]):
+            assert fa["attrs"] == fb["attrs"]
+
+
 def test_varint_matrix():
     vals = np.array([0, 1, 127, 128, 16383, 16384, 2097151, 2097152,
                      268435455, 268435456, (1 << 34)])
