@@ -1065,34 +1065,23 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
-    "doc_fingerprint",
-    """
-    SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
-    FROM documents
-    """,
-)
-def doc_fingerprint(spark, sf_dir):
-    """Normalized-content fingerprint (casefold + strip non-alnum + md5)."""
-    return tbl(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("fp"))
-
-
-@query(
     "token_stats",
     """
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
            CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
-           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the,
+           md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
     FROM documents
     """,
 )
 def token_stats(spark, sf_dir):
     """Token counting + stopword occurrence (quality-scoring primitives):
-    whitespace tokens, regex word tokens, and occurrence counting via the
-    length-difference trick (all portable exact integer math)."""
+    whitespace tokens, regex word tokens, occurrence counting via the
+    length-difference trick (all portable exact integer math) — plus the
+    normalized-content document fingerprint (casefold + strip non-alnum +
+    md5), the rolling-fingerprint dedup primitive."""
     d = tbl(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1100,7 +1089,8 @@ def token_stats(spark, sf_dir):
         F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").alias("n_words"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("n_chars_nospace"),
         ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5)
-        .cast("long").alias("n_the"))
+        .cast("long").alias("n_the"),
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("fp"))
 
 
 @query(
@@ -1615,10 +1605,14 @@ def pip_polygon_index(spark, sf_dir):
         F.min("image_id").alias("first_image"))
 
 
-@query("knn_zone_centroids")  # rows-only: broadcast vectorized kNN
 def knn_zone_centroids(spark, sf_dir):
     """k=5 nearest zone centroids per image via the broadcast distance-matrix
-    kNN (PointIndex.getNearest:70 semantics, deterministic tie-breaks)."""
+    kNN (PointIndex.getNearest:70 semantics, deterministic tie-breaks).
+
+    Not a registered gate row (the driver caps the gate at 50 queries): kNN
+    semantics are already oracle-verified by knn_bruteforce/knn_grid, and
+    spatial.knn_zones is asserted against a brute-force oracle in
+    tests/test_spatial.py::test_knn_matches_bruteforce_oracle."""
     from ..operators import spatial as sp
     from ..sources import images as src
 
@@ -1732,54 +1726,57 @@ def tile_line_merge(spark, sf_dir):
         F.sum(F.expr("CAST(round(len_before * 1000) AS BIGINT)")).alias("len_mils"))
 
 
-@query("streaming_stateful_sessions")  # rows-only: applyInPandasWithState
-def streaming_stateful_sessions(spark, sf_dir):
-    """Custom stateful streaming operator: incremental 30-min-gap
-    sessionization via applyInPandasWithState (per-user open-session state
-    carried across micro-batches; closed sessions stream out append-mode).
-    Result aggregated; equality with batch sessionization is asserted in
-    tests/test_stateful_streaming.py."""
+@query("streaming_ops")  # rows-only: Structured Streaming surfaces
+def streaming_ops(spark, sf_dir):
+    """Both Structured Streaming surfaces in one gate row (SURVEY §2.10 —
+    beyond the batch-only reference):
+
+    1. `windows`: watermarked event-time windowed counts drained via
+       availableNow; equals the batch equivalent by construction.
+    2. `sessions`: custom stateful operator — incremental 30-min-gap
+       sessionization via applyInPandasWithState (per-user open-session state
+       across micro-batches, closed sessions stream out append-mode);
+       equality with batch sessionization asserted in
+       tests/test_stateful_streaming.py.
+
+    Output: (surface, k, a, b) rows — windows per event_type
+    (n_events, n_windows) plus the sessions aggregate
+    (n_closed_sessions, n_events_in_closed)."""
     import time
     import tempfile
     import uuid
     from ..streaming import events as se
     from ..streaming import sessions as ss
 
-    d = f"{tempfile.gettempdir()}/psq_sess_{uuid.uuid4().hex[:8]}"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    # surface 1: watermarked windowed counts
+    d1 = f"{tempfile.gettempdir()}/psq_stream_{uuid.uuid4().hex[:8]}"
+    ev.repartition(4).write.mode("overwrite").parquet(d1)
+    win = se.run_available_now(
+        se.windowed_event_counts(se.stream_events(spark, d1)),
+        f"winq_{uuid.uuid4().hex[:8]}")
+    win_rows = (win.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("a"), F.count("*").alias("b"))
+        .select(F.lit("windows").alias("surface"),
+                F.col("event_type").alias("k"), "a", "b"))
+
+    # surface 2: stateful sessionization across two micro-batches
+    d2 = f"{tempfile.gettempdir()}/psq_sess_{uuid.uuid4().hex[:8]}"
     tsu = F.unix_micros(F.col("ts").cast("timestamp"))
     med = ev.select(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]
-    ev.filter(tsu <= med).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(tsu <= med).coalesce(1).write.mode("append").parquet(d2)
     time.sleep(1.1)
-    ev.filter(tsu > med).coalesce(1).write.mode("append").parquet(d)
-    stream = se.stream_events(spark, d)
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    closed = se.run_available_now(ss.sessionize_stream(stream), name,
-                                  output_mode="append")
-    return closed.agg(
-        F.count("*").alias("n_closed_sessions"),
-        F.sum("n_events").cast("long").alias("n_events_in_closed"),
-        F.countDistinct("user_id").cast("long").alias("n_users"))
+    ev.filter(tsu > med).coalesce(1).write.mode("append").parquet(d2)
+    closed = se.run_available_now(
+        ss.sessionize_stream(se.stream_events(spark, d2)),
+        f"sess_{uuid.uuid4().hex[:8]}", output_mode="append")
+    sess_rows = closed.agg(
+        F.count("*").alias("a"),
+        F.sum("n_events").cast("long").alias("b")).select(
+        F.lit("sessions").alias("surface"), F.lit("all").alias("k"), "a", "b")
 
-
-@query("streaming_window_counts")  # rows-only: structured-streaming surface
-def streaming_window_counts(spark, sf_dir):
-    """Watermarked event-time windowed counts drained via availableNow —
-    the Structured Streaming surface (beyond the batch-only reference,
-    SURVEY §2.10); result equals the batch equivalent by construction."""
-    import tempfile
-    import uuid
-    from ..streaming import events as se
-
-    d = f"{tempfile.gettempdir()}/psq_stream_{uuid.uuid4().hex[:8]}"
-    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4) \
-        .write.mode("overwrite").parquet(d)
-    stream = se.stream_events(spark, d)
-    name = f"winq_{uuid.uuid4().hex[:8]}"
-    out = se.run_available_now(se.windowed_event_counts(stream), name)
-    return out.groupBy("event_type").agg(
-        F.sum("n").cast("long").alias("n_events"),
-        F.count("*").alias("n_windows"))
+    return win_rows.unionByName(sess_rows)
 
 
 @query("archive_write_verify")  # rows-only: sqlite/pmtiles sinks not SQL
@@ -1813,10 +1810,78 @@ def archive_write_verify(spark, sf_dir):
     return spark.createDataFrame(rows, "archive string, n_tiles long, aux long")
 
 
-@query("hilbert_order")  # no oracle: Hilbert bit-twiddling is not ANSI-SQL-expressible
+def _hilbert_oracle_sql(level: int = 10) -> str:
+    """DuckDB oracle for hilbert_encode at a fixed zoom: the LUT-free
+    bit-twiddling kernel (Hilbert.java:76-127 / kernels/tile_math.py
+    hilbert_xy_to_index) unrolled into SQL — 16-bit masked AND/OR/XOR/shift
+    rounds + Morton interleave. All intermediates stay < 2^32 so BIGINT
+    arithmetic is exact."""
+    start = X.zoom_start_index(level)
+    n = 1 << level
+    up = 16 - level
+    return f"""
+    WITH t AS (
+      SELECT {X.tile_id_from_key('o_orderkey', level)} AS tile_id, count(*) AS n
+      FROM orders GROUP BY 1
+    ), d AS (
+      SELECT tile_id, n,
+             ((tile_id - {start}) // {n}) << {up} AS x,
+             ({n - 1} - ((tile_id - {start}) % {n})) << {up} AS y
+      FROM t
+    ), r1 AS (
+      SELECT *, xor(x, y) AS a1, xor(65535, xor(x, y)) AS b1,
+             xor(65535, x | y) AS c1, x & xor(y, 65535) AS d1
+      FROM d
+    ), r2 AS (
+      SELECT *, a1 | (b1 >> 1) AS ha1, xor(a1 >> 1, a1) AS hb1,
+             xor(xor(c1 >> 1, b1 & (d1 >> 1)), c1) AS hc1,
+             xor(xor(a1 & (c1 >> 1), d1 >> 1), d1) AS hd1
+      FROM r1
+    ), r3 AS (
+      SELECT *, xor(ha1 & (ha1 >> 2), hb1 & (hb1 >> 2)) AS ha2,
+             xor(ha1 & (hb1 >> 2), hb1 & (xor(ha1, hb1) >> 2)) AS hb2,
+             xor(hc1, xor(ha1 & (hc1 >> 2), hb1 & (hd1 >> 2))) AS hc2,
+             xor(hd1, xor(hb1 & (hc1 >> 2), xor(ha1, hb1) & (hd1 >> 2))) AS hd2
+      FROM r2
+    ), r4 AS (
+      SELECT *, xor(ha2 & (ha2 >> 4), hb2 & (hb2 >> 4)) AS ha3,
+             xor(ha2 & (hb2 >> 4), hb2 & (xor(ha2, hb2) >> 4)) AS hb3,
+             xor(hc2, xor(ha2 & (hc2 >> 4), hb2 & (hd2 >> 4))) AS hc3,
+             xor(hd2, xor(hb2 & (hc2 >> 4), xor(ha2, hb2) & (hd2 >> 4))) AS hd3
+      FROM r3
+    ), r5 AS (
+      SELECT *, xor(hc3, xor(ha3 & (hc3 >> 8), hb3 & (hd3 >> 8))) AS hc4,
+             xor(hd3, xor(hb3 & (hc3 >> 8), xor(ha3, hb3) & (hd3 >> 8))) AS hd4
+      FROM r4
+    ), r6 AS (
+      SELECT *, xor(x, y) AS i0,
+             xor(hd4, hd4 >> 1) | xor(65535, xor(x, y) | xor(hc4, hc4 >> 1)) AS i1
+      FROM r5
+    ), il AS (
+      SELECT *, ((i0 | (i0 << 8)) & 16711935) AS u0, ((i1 | (i1 << 8)) & 16711935) AS v0
+      FROM r6
+    ), il2 AS (
+      SELECT *, ((u0 | (u0 << 4)) & 252645135) AS u1, ((v0 | (v0 << 4)) & 252645135) AS v1
+      FROM il
+    ), il3 AS (
+      SELECT *, ((u1 | (u1 << 2)) & 858993459) AS u2, ((v1 | (v1 << 2)) & 858993459) AS v2
+      FROM il2
+    ), il4 AS (
+      SELECT *, ((u2 | (u2 << 1)) & 1431655765) AS u3, ((v2 | (v2 << 1)) & 1431655765) AS v3
+      FROM il3
+    )
+    SELECT tile_id,
+           {start} + ((((v3 << 1) | u3) & 4294967295) >> {32 - 2 * level}) AS hilbert_id,
+           n
+    FROM il4
+    """
+
+
+@query("hilbert_order", _hilbert_oracle_sql(10))
 def hilbert_order(spark, sf_dir):
     """Hilbert tile ordering (TileCoord.hilbertEncoded:158-161, Hilbert.java:53-127)
-    via a vectorized pandas UDF; validated against golden vectors in pytest."""
+    via a vectorized pandas UDF; validated against golden vectors in pytest AND
+    against the unrolled-SQL DuckDB oracle (_hilbert_oracle_sql)."""
     from ..functions.geo import hilbert_of_tile
 
     pts = tbl(spark, sf_dir, "orders").select(
