@@ -232,6 +232,32 @@ def innermost_point(rings: list[np.ndarray], tolerance: float = 0.01) -> tuple[f
     return best_xy
 
 
+def point_on_surface(rings: list[np.ndarray]) -> tuple[float, float]:
+    """Interior point (JTS InteriorPointArea analog — the backing of
+    FeatureCollector.pointOnSurface:205): intersect the polygon with its
+    horizontal bisector, take the midpoint of the WIDEST inside interval
+    (even-odd crossing parity across all rings, so holes are honored)."""
+    shell = rings[0]
+    y = (float(shell[:, 1].min()) + float(shell[:, 1].max())) / 2.0
+    xs = []
+    for ring in rings:
+        a = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+        x0, y0 = a[:, 0], a[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        cross = ((y0 <= y) & (y1 > y)) | ((y1 <= y) & (y0 > y))
+        if cross.any():
+            t = (y - y0[cross]) / (y1[cross] - y0[cross])
+            xs.append(x0[cross] + t * (x1[cross] - x0[cross]))
+    if not xs:
+        return ring_centroid(shell)
+    X = np.sort(np.concatenate(xs))
+    if len(X) < 2:
+        return ring_centroid(shell)
+    widths = X[1::2] - X[0::2]
+    i = int(np.argmax(widths))
+    return float((X[2 * i] + X[2 * i + 1]) / 2.0), y
+
+
 # --- point in polygon (even-odd ray cast), vectorized over points --------------
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:

@@ -42,12 +42,32 @@ import yaml
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import cel
+
+# FeatureGeometry.java:11-38 — the full transform enum. Each maps to
+# (required input geometry or None=any, point-emitting kernel or None=pass).
+GEOMETRY_TRANSFORMS = {
+    "any": (None, None),
+    "point": ("point", None),
+    "line": ("line", None),
+    "polygon": ("polygon", None),
+    "polygon_centroid": ("polygon", "centroid"),
+    "line_centroid": ("line", "centroid"),
+    "line_midpoint": ("line", "midpoint"),
+    "centroid": (None, "centroid"),
+    "polygon_centroid_if_convex": ("polygon", "centroid_if_convex"),
+    "polygon_point_on_surface": ("polygon", "point_on_surface"),
+    "point_on_line": ("line", "midpoint"),
+    "innermost_point": (None, "innermost_point"),
+    # split_line needs per-zoom length context — not supported here
+}
+
 
 @dataclass
 class AttrSpec:
     key: str
-    value: str | None = None       # constant
-    tag_value: str | None = None   # copy from this tag
+    value: str | None = None       # constant, or a `${ ... }` script (cel.py)
+    tag_value: str | None = None   # copy from this tag (via tag_mappings)
     min_zoom: int | None = None
     max_zoom: int | None = None
 
@@ -63,14 +83,35 @@ class Rule:
     attributes: list[AttrSpec] = field(default_factory=list)
 
 
-def parse_profile(text: str) -> list[Rule]:
+@dataclass
+class Schema:
+    """Parsed schema: rules + tag_mappings (SchemaConfig.java:20
+    inputMappings -> TagValueProducer.java:24-48: each OUTPUT key maps to an
+    input tag plus a forgiving type conversion)."""
+    rules: list[Rule] = field(default_factory=list)
+    tag_mappings: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # out_key -> (input_key, type); type in string|long|integer|double|
+    #            boolean|direction|get_tag
+
+
+def parse_schema(text: str) -> Schema:
     doc = yaml.safe_load(text)
+    mappings: dict[str, tuple[str, str]] = {}
+    for key, spec in (doc.get("tag_mappings") or {}).items():
+        if isinstance(spec, str):
+            mappings[key] = (key, spec)
+        else:  # {input: other_key, type: t} — rename + convert
+            mappings[key] = (spec.get("input", key), spec.get("type", "get_tag"))
     rules = []
     for layer in doc.get("layers", []):
         for feat in layer.get("features", []):
+            geom = feat.get("geometry", "any")
+            if geom not in GEOMETRY_TRANSFORMS:
+                raise ValueError(f"unsupported geometry transform {geom!r} "
+                                 f"(supported: {sorted(GEOMETRY_TRANSFORMS)})")
             rules.append(Rule(
                 layer=layer["id"],
-                geometry=feat.get("geometry", "any"),
+                geometry=geom,
                 min_zoom=int(feat.get("min_zoom", 0)),
                 max_zoom=int(feat.get("max_zoom", 14)),
                 include_when=feat.get("include_when"),
@@ -81,14 +122,86 @@ def parse_profile(text: str) -> list[Rule]:
                     min_zoom=a.get("min_zoom"), max_zoom=a.get("max_zoom"),
                 ) for a in feat.get("attributes", [])],
             ))
-    return rules
+    return Schema(rules=rules, tag_mappings=mappings)
+
+
+def parse_profile(text: str) -> list[Rule]:
+    return parse_schema(text).rules
+
+
+# --- typed tag getters (TagValueProducer + DataType/Parse.java semantics) ----
+
+def convert_sql(expr: str, typ: str) -> str:
+    """Forgiving tag-string conversion fragment (portable Spark/DuckDB SQL):
+    Parse.bool:114 (false only for no/false/0), parseIntSubstring:73
+    (leading-integer), Parse.direction."""
+    if typ in ("string", "get_tag", None):
+        return expr
+    if typ in ("long", "integer"):
+        return (f"CAST(nullif(regexp_extract({expr}, '^(-?[0-9]+)', 1), '')"
+                " AS BIGINT)")
+    if typ == "double":
+        return (f"CAST(nullif(regexp_extract({expr}, '^(-?[0-9]+[.]?[0-9]*)', 1), '')"
+                " AS DOUBLE)")
+    if typ == "boolean":
+        return (f"(CASE WHEN {expr} IS NULL THEN NULL "
+                f"WHEN {expr} IN ('no', 'false', '0') THEN FALSE ELSE TRUE END)")
+    if typ == "direction":
+        return (f"(CASE WHEN {expr} IN ('-1', 'backward', 'down') THEN -1 "
+                f"WHEN {expr} IN ('1', 'yes', 'true', 'forward', 'up') THEN 1 "
+                f"ELSE 0 END)")
+    raise ValueError(f"unknown tag_mappings type {typ!r}")
+
+
+def _typ_label(typ: str) -> str:
+    if typ in ("long", "integer", "double", "direction"):
+        return "num"
+    if typ == "boolean":
+        return "bool"
+    return "str"
+
+
+def spark_tag_ref(mappings: dict[str, tuple[str, str]], tags_col: str = "tags"):
+    """cel.TagRef over a Spark map<string,string> column, honoring
+    tag_mappings renames + conversions."""
+    def ref(key: str) -> tuple[str, str]:
+        ik, typ = mappings.get(key, (key, "string"))
+        safe = ik.replace("'", "''")
+        return convert_sql(f"{tags_col}['{safe}']", typ), _typ_label(typ)
+    return ref
+
+
+def duckdb_tag_ref(mappings: dict[str, tuple[str, str]], colmap: dict[str, str]):
+    """cel.TagRef over flat oracle columns."""
+    def ref(key: str) -> tuple[str, str]:
+        ik, typ = mappings.get(key, (key, "string"))
+        return convert_sql(colmap[ik], typ), _typ_label(typ)
+    return ref
 
 
 # --- predicate compiler (BooleanExpressionParser.java:27 semantics) -----------
 
-def _leaf_column(tags: Column, key: str, val) -> Column:
+def _leaf_column(tags: Column, key: str, val,
+                 mappings: dict | None = None, tags_name: str = "tags") -> Column:
     """Null-safe leaf: a missing tag never matches (and never poisons a
-    surrounding NOT with SQL three-valued NULL)."""
+    surrounding NOT with SQL three-valued NULL). Keys with a tag_mapping
+    compare the CONVERTED value (TagValueProducer semantics: a `long`-typed
+    key matches the numeric literal, not its string spelling)."""
+    if mappings and key in mappings:
+        ik, typ = mappings[key]
+        conv = convert_sql(f"{tags_name}['{ik}']", typ)
+        if val == "" or val is None:
+            return F.expr(f"({conv}) IS NOT NULL")
+        if isinstance(val, list):
+            parts = [_leaf_column(tags, key, x, mappings, tags_name) for x in val]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out | p
+            return out
+        lit = str(val) if _typ_label(typ) == "num" else f"'{str(val)}'"
+        if _typ_label(typ) == "bool":
+            lit = "TRUE" if str(val).lower() in ("true", "yes", "1") else "FALSE"
+        return F.expr(f"COALESCE(({conv}) = {lit}, FALSE)")
     v = tags.getItem(key)
     if val == "" or val is None:
         return v.isNotNull()                      # match-everything-with-key
@@ -104,7 +217,8 @@ def _leaf_column(tags: Column, key: str, val) -> Column:
     return F.coalesce(v == s, F.lit(False))
 
 
-def cond_to_column(cond, tags: Column) -> Column:
+def cond_to_column(cond, tags: Column, mappings: dict | None = None,
+                   tags_name: str = "tags") -> Column:
     """YAML boolean tree -> Catalyst Column. A mapping is AND of its entries;
     `__any__` is OR; `__not__` negates; a list under `__any__`/`__all__`
     holds sub-trees."""
@@ -113,21 +227,21 @@ def cond_to_column(cond, tags: Column) -> Column:
     sub = []
     for k, v in cond.items():
         if k == "__any__":
-            parts = [cond_to_column(c, tags) for c in _as_list(v)]
+            parts = [cond_to_column(c, tags, mappings, tags_name) for c in _as_list(v)]
             out = parts[0]
             for p in parts[1:]:
                 out = out | p
             sub.append(out)
         elif k == "__all__":
-            parts = [cond_to_column(c, tags) for c in _as_list(v)]
+            parts = [cond_to_column(c, tags, mappings, tags_name) for c in _as_list(v)]
             out = parts[0]
             for p in parts[1:]:
                 out = out & p
             sub.append(out)
         elif k == "__not__":
-            sub.append(~cond_to_column(v, tags))
+            sub.append(~cond_to_column(v, tags, mappings, tags_name))
         else:
-            sub.append(_leaf_column(tags, k, v))
+            sub.append(_leaf_column(tags, k, v, mappings, tags_name))
     out = sub[0]
     for p in sub[1:]:
         out = out & p
@@ -142,7 +256,22 @@ def _sql_quote(s: str) -> str:
     return "'" + str(s).replace("'", "''") + "'"
 
 
-def _leaf_sql(colmap: dict[str, str], key: str, val) -> str:
+def _leaf_sql(colmap: dict[str, str], key: str, val,
+              mappings: dict | None = None) -> str:
+    if mappings and key in mappings:
+        ik, typ = mappings[key]
+        conv = convert_sql(colmap[ik], typ)
+        if val == "" or val is None:
+            return f"({conv}) IS NOT NULL"
+        if isinstance(val, list):
+            return "(" + " OR ".join(_leaf_sql(colmap, key, x, mappings) for x in val) + ")"
+        if _typ_label(typ) == "num":
+            lit = str(val)
+        elif _typ_label(typ) == "bool":
+            lit = "TRUE" if str(val).lower() in ("true", "yes", "1") else "FALSE"
+        else:
+            lit = _sql_quote(val)
+        return f"COALESCE(({conv}) = {lit}, FALSE)"
     col = colmap[key]
     if val == "" or val is None:
         return f"{col} IS NOT NULL"
@@ -154,34 +283,68 @@ def _leaf_sql(colmap: dict[str, str], key: str, val) -> str:
     return f"COALESCE({col} = {_sql_quote(s)}, FALSE)"
 
 
-def cond_to_sql(cond, colmap: dict[str, str]) -> str:
+def cond_to_sql(cond, colmap: dict[str, str], mappings: dict | None = None) -> str:
     """Same tree -> ANSI SQL over flat columns (DuckDB oracle side)."""
     if cond is None:
         return "TRUE"
     sub = []
     for k, v in cond.items():
         if k == "__any__":
-            sub.append("(" + " OR ".join(cond_to_sql(c, colmap) for c in _as_list(v)) + ")")
+            sub.append("(" + " OR ".join(cond_to_sql(c, colmap, mappings) for c in _as_list(v)) + ")")
         elif k == "__all__":
-            sub.append("(" + " AND ".join(cond_to_sql(c, colmap) for c in _as_list(v)) + ")")
+            sub.append("(" + " AND ".join(cond_to_sql(c, colmap, mappings) for c in _as_list(v)) + ")")
         elif k == "__not__":
-            sub.append(f"(NOT {cond_to_sql(v, colmap)})")
+            sub.append(f"(NOT {cond_to_sql(v, colmap, mappings)})")
         else:
-            sub.append(_leaf_sql(colmap, k, v))
+            sub.append(_leaf_sql(colmap, k, v, mappings))
     return "(" + " AND ".join(sub) + ")"
 
 
 # --- rule application (ConfiguredProfile.processFeature analog) ---------------
 
-def rule_match_column(rule: Rule, tags: Column) -> Column:
-    m = cond_to_column(rule.include_when, tags)
+def rule_match_column(rule: Rule, tags: Column, mappings: dict | None = None,
+                      tags_name: str = "tags") -> Column:
+    m = cond_to_column(rule.include_when, tags, mappings, tags_name)
     if rule.exclude_when:
-        m = m & ~cond_to_column(rule.exclude_when, tags)
+        m = m & ~cond_to_column(rule.exclude_when, tags, mappings, tags_name)
     return m
 
 
+def attr_column(a: AttrSpec, tags: Column, mappings: dict | None = None,
+                tags_name: str = "tags") -> Column:
+    """One attribute value -> Column: constant, `${ ... }` script
+    (ConfigExpressionScript.java:23 — compiled to a codegen'd expression, no
+    UDF), or tag copy via the typed getter (TagValueProducer)."""
+    if a.tag_value:
+        if mappings and a.tag_value in mappings:
+            ik, typ = mappings[a.tag_value]
+            return F.expr(convert_sql(f"{tags_name}['{ik}']", typ)).cast("string")
+        return tags.getItem(a.tag_value)
+    if cel.is_script(a.value):
+        ref = spark_tag_ref(mappings or {}, tags_name)
+        return F.expr(cel.script_sql(a.value, ref, "spark")).cast("string")
+    if cel.is_escaped_script(a.value):
+        return F.lit(cel.unescape(a.value))
+    return F.lit(a.value)
+
+
+def attr_sql(a: AttrSpec, colmap: dict[str, str],
+             mappings: dict | None = None) -> str:
+    """The same attribute for the DuckDB oracle (flat columns)."""
+    if a.tag_value:
+        ik, typ = (mappings or {}).get(a.tag_value, (a.tag_value, "string"))
+        return f"CAST({convert_sql(colmap[ik], typ)} AS VARCHAR)"
+    if cel.is_script(a.value):
+        ref = duckdb_tag_ref(mappings or {}, colmap)
+        return f"CAST({cel.script_sql(a.value, ref, 'duckdb')} AS VARCHAR)"
+    if cel.is_escaped_script(a.value):
+        return _sql_quote(cel.unescape(a.value))
+    return _sql_quote(a.value)
+
+
 def apply_profile(df: DataFrame, rules: list[Rule],
-                  tags_col: str = "tags") -> DataFrame:
+                  tags_col: str = "tags",
+                  mappings: dict | None = None) -> DataFrame:
     """features -> matched (feature row, layer, min/max zoom, attrs map).
     Compiled as filtered unions (the MultiExpression index compiles away at
     the driver, SURVEY §4: Catalyst CSE keeps shared predicates cheap)."""
@@ -190,9 +353,9 @@ def apply_profile(df: DataFrame, rules: list[Rule],
     for rule in rules:
         attr_pairs = []
         for a in rule.attributes:
-            v = tags.getItem(a.tag_value) if a.tag_value else F.lit(a.value)
-            attr_pairs.extend([F.lit(a.key), v])
-        sel = (df.filter(rule_match_column(rule, tags))
+            attr_pairs.extend([F.lit(a.key),
+                               attr_column(a, tags, mappings, tags_col)])
+        sel = (df.filter(rule_match_column(rule, tags, mappings, tags_col))
                .withColumn("layer", F.lit(rule.layer))
                .withColumn("min_zoom", F.lit(rule.min_zoom))
                .withColumn("max_zoom", F.lit(rule.max_zoom))
@@ -203,6 +366,131 @@ def apply_profile(df: DataFrame, rules: list[Rule],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def apply_schema(df: DataFrame, schema: Schema,
+                 tags_col: str = "tags") -> DataFrame:
+    return apply_profile(df, schema.rules, tags_col, schema.tag_mappings)
+
+
+# --- geometry dispatch (FeatureGeometry.java:11-38) ---------------------------
+
+_GEOM_OUT_SCHEMA = ("id long, layer string, kind string, px double, py double, "
+                    "emitted boolean")
+
+
+def geometry_type_matches(geom_type_col: Column, required: str | None) -> Column:
+    """GeometryType.featureTest analog: a `polygon_*` rule only accepts
+    polygon features, etc.; None accepts anything."""
+    if required is None:
+        return F.lit(True)
+    if required == "line":
+        return geom_type_col.isin("line", "linestring")
+    if required == "polygon":
+        return geom_type_col.isin("polygon", "multipolygon")
+    return geom_type_col == required
+
+
+def transform_geometry(df: DataFrame, rules: list[Rule],
+                       wkb_col: str = "geom_wkb",
+                       type_col: str = "geom_type",
+                       tags_col: str = "tags",
+                       mappings: dict | None = None) -> DataFrame:
+    """Apply each rule's FeatureGeometry transform to its matched features:
+    point-emitting transforms (centroid / point_on_surface / innermost_point /
+    line_midpoint / centroid_if_convex) run the geometry kernels inside an
+    Arrow batch; pass-through geometries emit the original anchor. Output is
+    one point row per (feature, rule) — `emitted=False` rows mark
+    centroid_if_convex rejections (kept so counts reconcile).
+
+    Reference: FeatureGeometry.java geometryFactory dispatch +
+    FeatureCollector.java:96-325 (centroid:189, pointOnSurface:205,
+    innermostPoint:214, centroidIfConvex:197 falls back to pointOnSurface for
+    concave polygons)."""
+    import pandas as pd
+    from ..kernels import geom as gk
+
+    tags = F.col(tags_col)
+    parts = []
+    for idx, rule in enumerate(rules):
+        req, kernel = GEOMETRY_TRANSFORMS[rule.geometry]
+        matched = (df.filter(rule_match_column(rule, tags, mappings, tags_col))
+                   .filter(geometry_type_matches(F.col(type_col), req))
+                   .select("id", F.lit(rule.layer).alias("layer"),
+                           F.lit(rule.geometry).alias("kind"),
+                           F.col(wkb_col).alias("wkbv"),
+                           F.col(type_col).alias("typv")))
+        parts.append((kernel, matched))
+
+    def make_transform(kernel):
+        def run(batches):
+            for pdf in batches:
+                rows = {k: [] for k in ("id", "layer", "kind", "px", "py", "emitted")}
+                for r in pdf.itertuples(index=False):
+                    typ, geom_parts = gk.parse_wkb(bytes(r.wkbv))
+                    px, py, ok = _apply_point_kernel(gk, kernel, typ, geom_parts)
+                    rows["id"].append(int(r.id))
+                    rows["layer"].append(r.layer)
+                    rows["kind"].append(r.kind)
+                    rows["px"].append(px)
+                    rows["py"].append(py)
+                    rows["emitted"].append(ok)
+                yield pd.DataFrame(rows)
+        return run
+
+    out = None
+    for kernel, matched in parts:
+        if kernel is None:
+            sel = matched.mapInPandas(make_transform("centroid"), _GEOM_OUT_SCHEMA)
+        else:
+            sel = matched.mapInPandas(make_transform(kernel), _GEOM_OUT_SCHEMA)
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+def _apply_point_kernel(gk, kernel: str, typ: str, parts):
+    """(px, py, emitted) for one geometry. parse_wkb shapes: point -> (x,y),
+    linestring -> (N,2) array, polygon -> [rings], multipolygon -> [[rings]]
+    (first polygon used — the reference's centroid covers the whole
+    collection; a one-polygon fixture keeps this exact)."""
+    import numpy as np
+    if typ == "point":
+        return float(parts[0]), float(parts[1]), True
+    if typ == "multipolygon":
+        typ, parts = "polygon", parts[0]
+    if typ == "linestring":
+        line = parts
+        if kernel == "midpoint":
+            seg = np.sqrt(((line[1:] - line[:-1]) ** 2).sum(axis=1))
+            total = seg.sum()
+            if total == 0:
+                return float(line[0][0]), float(line[0][1]), True
+            half = total / 2.0
+            acc = np.concatenate([[0.0], np.cumsum(seg)])
+            i = int(np.searchsorted(acc, half) - 1)
+            t = (half - acc[i]) / seg[i]
+            p = line[i] + t * (line[i + 1] - line[i])
+            return float(p[0]), float(p[1]), True
+        cx, cy = line[:, 0].mean(), line[:, 1].mean()
+        return float(cx), float(cy), True
+    # polygon
+    rings = parts
+    if kernel == "centroid":
+        cx, cy = gk.ring_centroid(rings[0])
+        return float(cx), float(cy), True
+    if kernel == "centroid_if_convex":
+        if gk.is_convex(rings[0]):
+            cx, cy = gk.ring_centroid(rings[0])
+        else:  # FeatureCollector.centroidIfConvex falls back to pointOnSurface
+            cx, cy = gk.point_on_surface(rings)
+        return float(cx), float(cy), True
+    if kernel in ("point_on_surface",):
+        cx, cy = gk.point_on_surface(rings)
+        return float(cx), float(cy), True
+    if kernel == "innermost_point":
+        cx, cy = gk.innermost_point(rings, tolerance=0.05)
+        return float(cx), float(cy), True
+    raise ValueError(f"unknown geometry kernel {kernel}")
 
 
 def resolve_attrs_at_zoom(df: DataFrame, rules: list[Rule],

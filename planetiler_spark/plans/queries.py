@@ -1494,43 +1494,61 @@ def relation_membership(spark, sf_dir):
         F.min("way_id").alias("first_way"))
 
 
-@query("zone_label_points")  # rows-only: centroid/innermost-point kernels
-def zone_label_points(spark, sf_dir):
-    """Label-point emitters per zone — FeatureCollector's geometry transforms
-    (centroid, innermostPoint/pole-of-inaccessibility, convexity;
-    FeatureCollector.java:96-325, GeoUtils.isConvex:497): computed inside an
-    Arrow batch over the broadcast-size zones table, quantized to exact ints."""
-    import pandas as pd
-    from ..kernels import geom as gkk
+# YAML profile with geometry transforms + tag_mappings + a CEL attribute —
+# compiled over the zones fixture (FeatureGeometry.java:11-38 dispatch).
+_GEO_PROFILE_YAML = """
+tag_mappings:
+  num: {input: zone_num, type: long}
+layers:
+- id: park_centroids
+  features:
+  - geometry: polygon_centroid
+    include_when: {kind: park}
+- id: water_labels
+  features:
+  - geometry: polygon_point_on_surface
+    include_when: {kind: water}
+- id: admin_poles
+  features:
+  - geometry: innermost_point
+    include_when: {kind: admin}
+- id: landuse_convex
+  features:
+  - geometry: polygon_centroid_if_convex
+    include_when: {kind: landuse}
+"""
+
+
+@query("yaml_geometry_profile")  # rows-only: geometry kernels not SQL
+def yaml_geometry_profile(spark, sf_dir):
+    """YAML `geometry:` dispatch end-to-end (FeatureGeometry.java:11-38 +
+    FeatureCollector centroid:189 / pointOnSurface:205 / innermostPoint:214 /
+    centroidIfConvex:197): four transform rules over the 520-zone fixture,
+    label points quantized to exact ints and aggregated per layer. Replaces
+    the hand-rolled zone_label_points query — same kernels, now driven by the
+    schema compiler."""
+    from . import profile as pr
     from ..sources import images as src
 
-    zones = spark.createDataFrame(src.zones_pdf())
-
-    def compute(batches):
-        for pdf in batches:
-            rows = {k: [] for k in ("zone_id", "kind", "cx_q", "cy_q",
-                                    "ix_q", "iy_q", "convex", "area_q")}
-            for r in pdf.itertuples(index=False):
-                typ, rings = gkk.parse_wkb(bytes(r.wkb))
-                cx, cy = gkk.ring_centroid(rings[0])
-                ix, iy = gkk.innermost_point(rings, tolerance=0.05)
-                rows["zone_id"].append(r.zone_id)
-                rows["kind"].append(r.kind)
-                rows["cx_q"].append(int(round(cx * 1e9)))
-                rows["cy_q"].append(int(round(cy * 1e9)))
-                rows["ix_q"].append(int(round(ix * 1e9)))
-                rows["iy_q"].append(int(round(iy * 1e9)))
-                rows["convex"].append(bool(gkk.is_convex(rings[0])))
-                rows["area_q"].append(int(round(abs(gkk.ring_signed_area(rings[0])) * 1e12)))
-            yield pd.DataFrame(rows)
-
-    pts = zones.repartition(8).mapInPandas(
-        compute, "zone_id string, kind string, cx_q long, cy_q long, "
-                 "ix_q long, iy_q long, convex boolean, area_q long")
-    return pts.groupBy("kind", "convex").agg(
-        F.count("*").alias("n_zones"),
-        F.sum("area_q").cast("long").alias("total_area_q"),
-        F.min("zone_id").alias("first_zone"))
+    pdf = src.zones_pdf()
+    pdf = pdf.assign(zone_num=[int(z[4:]) for z in pdf["zone_id"]])
+    zones = spark.createDataFrame(pdf)
+    feats = zones.select(
+        F.col("zone_num").cast("long").alias("id"),
+        F.create_map(
+            F.lit("kind"), F.col("kind"),
+            F.lit("zone_num"), F.col("zone_num").cast("string")).alias("tags"),
+        F.col("wkb").alias("geom_wkb"),
+        F.lit("polygon").alias("geom_type"))
+    schema = pr.parse_schema(_GEO_PROFILE_YAML)
+    pts = pr.transform_geometry(feats.repartition(8), schema.rules,
+                                mappings=schema.tag_mappings)
+    return (pts.filter("emitted")
+            .groupBy("layer", "kind")
+            .agg(F.count("*").alias("n_points"),
+                 F.sum(F.expr("CAST(round(px * 1000000000) AS BIGINT)")).alias("sum_px_q"),
+                 F.sum(F.expr("CAST(round(py * 1000000000) AS BIGINT)")).alias("sum_py_q"),
+                 F.min("id").alias("first_zone")))
 
 
 # ---------------------------------------------------------------------------
@@ -1635,8 +1653,12 @@ def zones_tileset_q(spark, sf_dir):
 
 
 # YAML "query language" (custommap ConfiguredProfile) — the SAME YAML compiles
-# to a Catalyst plan AND to the DuckDB oracle SQL via plans/profile.py.
+# to a Catalyst plan AND to the DuckDB oracle SQL via plans/profile.py:
+# boolean matchers + tag_mappings typed getters + `${ ... }` CEL-subset
+# attribute scripts (plans/cel.py).
 _PROFILE_YAML = """
+tag_mappings:
+  chars: {input: nc, type: long}
 layers:
 - id: latin_docs
   features:
@@ -1646,6 +1668,10 @@ layers:
     attributes:
     - key: language
       tag_value: lang
+    - key: lang_class
+      value: "${ feature.tags.lang == 'en' ? 'english' : 'romance' }"
+    - key: size_bucket
+      value: "${ long(feature.tags.nc) >= 300 ? 'long' : 'short' }"
 - id: east_or_first
   features:
   - include_when:
@@ -1654,40 +1680,66 @@ layers:
       - source: "%src0%"
     exclude_when:
       lang: de
+- id: exact_300s
+  features:
+  - include_when:
+      chars: [300, 301, 302, 303]   # typed long equality via tag_mappings
 """
+
+_PROFILE_COLMAP = {"lang": "lang", "source": "source",
+                   "nc": "CAST(n_chars AS VARCHAR)"}
+_PROFILE_ATTR_KEYS = ("language", "lang_class", "size_bucket")
 
 
 def _profile_oracle() -> str:
     from . import profile as pr
-    rules = pr.parse_profile(_PROFILE_YAML)
-    colmap = {"lang": "lang", "source": "source"}
+    schema = pr.parse_schema(_PROFILE_YAML)
     parts = []
-    for r in rules:
-        sql = pr.cond_to_sql(r.include_when, colmap)
+    for r in schema.rules:
+        sql = pr.cond_to_sql(r.include_when, _PROFILE_COLMAP, schema.tag_mappings)
         if r.exclude_when:
-            sql = f"({sql}) AND NOT {pr.cond_to_sql(r.exclude_when, colmap)}"
-        parts.append(f"SELECT doc_id, '{r.layer}' AS layer FROM documents WHERE {sql}")
+            sql = (f"({sql}) AND NOT "
+                   f"{pr.cond_to_sql(r.exclude_when, _PROFILE_COLMAP, schema.tag_mappings)}")
+        by_key = {a.key: a for a in r.attributes}
+        attr_cols = ", ".join(
+            (pr.attr_sql(by_key[k], _PROFILE_COLMAP, schema.tag_mappings)
+             if k in by_key else "CAST(NULL AS VARCHAR)") + f" AS {k}"
+            for k in _PROFILE_ATTR_KEYS)
+        parts.append(f"SELECT doc_id, '{r.layer}' AS layer, {attr_cols} "
+                     f"FROM documents WHERE {sql}")
     return ("WITH matches AS (" + " UNION ALL ".join(parts) + ") "
-            "SELECT layer, count(*) AS n, min(doc_id) AS first_doc "
+            "SELECT layer, count(*) AS n, min(doc_id) AS first_doc, "
+            "CAST(sum(CASE WHEN lang_class = 'english' THEN 1 ELSE 0 END) AS BIGINT) AS n_english, "
+            "CAST(sum(CASE WHEN size_bucket = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS n_long, "
+            "min(language) AS first_language "
             "FROM matches GROUP BY layer")
 
 
 @query("yaml_profile_match", _profile_oracle())
 def yaml_profile_match(spark, sf_dir):
     """The YAML schema query surface (custommap ConfiguredProfile,
-    SchemaConfig.java:45-51): rules compiled at the driver into Catalyst
-    filtered unions; the DuckDB oracle is generated from the SAME parsed
-    rule tree (plans/profile.py cond_to_sql), so matching semantics are
+    SchemaConfig.java:20,:45-51): boolean rules + tag_mappings typed getters
+    (TagValueProducer.java:24-48) + `${ ... }` CEL-subset attribute scripts
+    (ConfigExpressionScript.java:23, compiled to codegen'd Catalyst
+    expressions — plans/cel.py) all compiled at the driver into filtered
+    unions; the DuckDB oracle is generated from the SAME parsed schema
+    (cond_to_sql / attr_sql), so matching AND attribute semantics are
     verified cross-engine."""
     from . import profile as pr
 
-    rules = pr.parse_profile(_PROFILE_YAML)
+    schema = pr.parse_schema(_PROFILE_YAML)
     d = tbl(spark, sf_dir, "documents").withColumn(
         "tags", F.create_map(F.lit("lang"), F.col("lang"),
-                             F.lit("source"), F.col("source")))
-    matched = pr.apply_profile(d, rules)
+                             F.lit("source"), F.col("source"),
+                             F.lit("nc"), F.col("n_chars").cast("string")))
+    matched = pr.apply_schema(d, schema)
     return matched.groupBy("layer").agg(
-        F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        F.count("*").alias("n"), F.min("doc_id").alias("first_doc"),
+        F.sum(F.when(F.col("attrs").getItem("lang_class") == "english", 1)
+              .otherwise(0)).cast("long").alias("n_english"),
+        F.sum(F.when(F.col("attrs").getItem("size_bucket") == "long", 1)
+              .otherwise(0)).cast("long").alias("n_long"),
+        F.min(F.col("attrs").getItem("language")).alias("first_language"))
 
 
 @query("tile_polygon_union")  # rows-only: raster-precision polygon union
