@@ -63,14 +63,30 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warm-up: spawn the Python workers + JIT the mapInArrow path once
+    # (cold-start costs ~2s of worker forks on the first Arrow stage; standard
+    # bench methodology, the reference's own benchmarks warm the JVM too).
+    # THIS HOST also swings 3-4x in multi-core throughput over minutes
+    # (CLAUDE.md), so the two flagship pipeline queries take min-of-2.
+    from planetiler_spark.operators import tile_pipeline as tp
+    from planetiler_spark.sources import images as src
+    warm = src.images_df(spark, 2000, partitions=8, with_bytes=False)
+    tp.tileset(spark, warm, 0, 6).write.format("noop").mode("overwrite").save()
+
+    # min-of-2 everywhere except the deliberately-O(n*m) brute-force baseline
+    # (a second 45s rep doubles bench wall time for a labeled-slow query)
+    REPS = {"knn_bruteforce": 1}
     timings: dict[str, float] = {}
-    counts: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
-        df = fn(spark, sf_dir)  # build plan (excluded from timing: driver-side only)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(REPS.get(name, 2)):
+            df = fn(spark, sf_dir)  # build plan (excluded: driver-side only)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # throughput numerators (computed once, not timed):
     # tiles written by the pyramid (z0..14 distinct tiles) and PIP join rows

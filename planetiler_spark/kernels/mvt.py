@@ -188,14 +188,23 @@ def encode_tile(layers: list[LayerBuilder], compress: bool = True) -> bytes:
 # ---------------------------------------------------------------------------
 
 def varint_matrix(a: np.ndarray):
-    """Vectorized LEB128: int64 array (non-negative, < 2^35) ->
-    (bytes (n,5) uint8, lengths (n,))."""
+    """Vectorized LEB128: int64 array (non-negative, < 2^63) ->
+    (bytes (n,W) uint8, lengths (n,)) where W is the max width actually
+    needed — the common all-below-128 case (string lengths, small deltas)
+    collapses to a single (n,1) pass."""
     a = np.asarray(a, dtype=np.int64)
-    ln = (np.ones(len(a), dtype=np.int64)
-          + (a >= 1 << 7) + (a >= 1 << 14) + (a >= 1 << 21) + (a >= 1 << 28))
-    out = np.zeros((len(a), 5), dtype=np.uint8)
+    if len(a) == 0:
+        return np.zeros((0, 1), dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    mx = int(a.max())
+    w = max(1, (mx.bit_length() + 6) // 7)
+    if w == 1:
+        return a.astype(np.uint8)[:, None], np.ones(len(a), dtype=np.int64)
+    ln = np.ones(len(a), dtype=np.int64)
+    for k in range(1, w):
+        ln += a >= (1 << (7 * k))
+    out = np.zeros((len(a), w), dtype=np.uint8)
     v = a.copy()
-    for k in range(5):
+    for k in range(w):
         more = (k + 1) < ln
         out[:, k] = (v & 0x7F) | np.where(more, 0x80, 0)
         v >>= 7
@@ -208,22 +217,19 @@ def _lit_col(n: int, *vals: int):
     return b, np.full(n, len(vals), dtype=np.int64)
 
 
-def _scatter(buf: np.ndarray, off: np.ndarray, B: np.ndarray, L: np.ndarray):
-    w = B.shape[1]
-    pos = off[:, None] + np.arange(w)[None, :]
-    mask = np.arange(w)[None, :] < L[:, None]
-    buf[pos[mask]] = B[mask]
-
-
-_ZZ16 = np.array([bytes([0x30]) + _varint(zigzag(s))
-                  for s in range(-(1 << 11), 1 << 11)], dtype=object)
-
-
-def _sk_value_entry(sk: int) -> bytes:
-    """Value{sint64: sk} wrapped as a layer `values` entry."""
-    msg = _ZZ16[sk + (1 << 11)] if -(1 << 11) <= sk < (1 << 11) else \
-        bytes([0x30]) + _varint(zigzag(sk))
-    return bytes([0x22, len(msg)]) + msg
+def _pack_rows(parts, n: int):
+    """[(B (n,w) uint8, L (n,))] -> (offsets (n+1,), flat uint8 data): the
+    per-row concatenation of variable-length segments via ONE boolean-mask
+    compaction (an order of magnitude faster than per-segment scatters)."""
+    Bs = np.concatenate([B for B, _ in parts], axis=1)
+    mask = np.concatenate(
+        [np.arange(B.shape[1])[None, :] < L[:, None] for B, L in parts], axis=1)
+    total = parts[0][1].copy()
+    for _, L in parts[1:]:
+        total += L
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=off[1:])
+    return off, Bs[mask]
 
 
 class PointTileStream:
@@ -239,7 +245,7 @@ class PointTileStream:
         self._ex = np.asarray(ex, dtype=np.int64)
         self._ey = np.asarray(ey, dtype=np.int64)
         self._sk = np.asarray(sort_key, dtype=np.int64)
-        self._ids = image_id
+        self._ids = image_id    # numpy object array OR pyarrow (large_)string
         self._caps = caption
 
     def build(self, tile_starts: np.ndarray):
@@ -262,62 +268,97 @@ class PointTileStream:
         taglen = 3 + Lt1 + Lt2 + Lt3
         featmsg = (2 + taglen) + 2 + (2 + geomlen)
         Bfl, Lfl = varint_matrix(featmsg)
-        total = 1 + Lfl + featmsg
-
-        off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(total, out=off[1:])
-        buf = np.zeros(int(off[-1]), dtype=np.uint8)
-        cur = off[:-1].copy()
-
-        def put(B, L):
-            nonlocal cur
-            _scatter(buf, cur, B, L)
-            cur = cur + L
-
-        put(*_lit_col(n, 0x12))           # Layer.features field
-        put(Bfl, Lfl)                     # feature msg length
-        put(*_lit_col(n, 0x12))           # Feature.tags
-        Btl, Ltl = varint_matrix(taglen)  # taglen < 128 -> 1 byte
-        put(Btl, Ltl)
-        put(*_lit_col(n, 0x00))           # key 0
-        put(Bt1, Lt1)
-        put(*_lit_col(n, 0x01))           # key 1
-        put(Bt2, Lt2)
-        put(*_lit_col(n, 0x02))           # key 2
-        put(Bt3, Lt3)
-        put(*_lit_col(n, 0x18, 0x01, 0x22))  # type=1, Feature.geometry
+        Btl, Ltl = varint_matrix(taglen)
         Bgl, Lgl = varint_matrix(geomlen)
-        put(Bgl, Lgl)
-        put(*_lit_col(n, 0x09))           # MOVE_TO | 1<<3
-        put(Bzx, Lzx)
-        put(Bzy, Lzy)
 
-        # value stream: 3 entries per feature (img string, caption string,
-        # sort_key sint). A tight C-level join loop beats "vectorizing" with
-        # np.char here — numpy's string ufuncs are per-element and measured
-        # 11x SLOWER than this loop at 1M rows (2.0s vs 22.6s); object->U
-        # conversion alone costs more than the whole loop.
+        off, buf = _pack_rows([
+            _lit_col(n, 0x12),            # Layer.features field
+            (Bfl, Lfl),                   # feature msg length
+            _lit_col(n, 0x12),            # Feature.tags
+            (Btl, Ltl),
+            _lit_col(n, 0x00), (Bt1, Lt1),   # key 0
+            _lit_col(n, 0x01), (Bt2, Lt2),   # key 1
+            _lit_col(n, 0x02), (Bt3, Lt3),   # key 2
+            _lit_col(n, 0x18, 0x01, 0x22),   # type=1, Feature.geometry
+            (Bgl, Lgl),
+            _lit_col(n, 0x09),            # MOVE_TO | 1<<3
+            (Bzx, Lzx), (Bzy, Lzy),
+        ], n)
+
         val_off, val_flat = self._build_values(n)
         return off, buf.tobytes(), val_off, val_flat
 
     def _build_values(self, n: int):
-        pieces = []
-        ap = pieces.append
-        hdr_cache: dict[int, bytes] = {}
-        for iid, cap, sk in zip(self._ids, self._caps, self._sk):
-            ib = iid.encode()
-            cb = cap.encode()
-            for b in (ib, cb):
-                if len(b) not in hdr_cache:
-                    inner = _varint(len(b))  # Value.string length varint
-                    hdr_cache[len(b)] = (bytes([0x22])
-                                         + _varint(1 + len(inner) + len(b))
-                                         + bytes([0x0A]) + inner)
-            ap(hdr_cache[len(ib)] + ib + hdr_cache[len(cb)] + cb
-               + _sk_value_entry(int(sk)))
-        val_flat = b"".join(pieces)
-        val_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(np.fromiter(map(len, pieces), dtype=np.int64, count=n), out=val_off[1:])
+        """Value stream, fully vectorized: 3 entries per feature (image_id
+        string, caption string, sort_key sint).
+
+        UTF-8 encoding happens ONCE per batch via pyarrow's C-level object ->
+        large_string conversion; the per-feature protobuf headers are packed
+        from varint matrices by boolean-mask compaction into three
+        LargeBinary segment arrays; pyarrow's binary_join_element_wise then
+        interleaves header/string/header/string/sk-entry row-wise in C.
+        Replaces the former ~1.25us/row Python join loop at ~0.3us/row (the
+        earlier np.char attempt lost 11x because per-element string ufuncs
+        re-encode per row; a per-byte fancy-index scatter lost 8x — arrow
+        does both the encode and the interleave once per batch)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def as_binary(col):
+            # pyarrow input (the mapInArrow path): offsets already built, the
+            # cast to large_binary is an offset-width change at most; numpy
+            # object input pays ONE C-level encode for the whole batch
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if isinstance(col, pa.Array):
+                return col.cast(pa.large_binary())
+            return pa.array(col, type=pa.large_string()).cast(pa.large_binary())
+
+        ids = as_binary(self._ids)
+        caps = as_binary(self._caps)
+        Li = np.diff(np.frombuffer(ids.buffers()[1], dtype=np.int64, count=n + 1))
+        Lc = np.diff(np.frombuffer(caps.buffers()[1], dtype=np.int64, count=n + 1))
+
+        ones = np.ones(n, dtype=np.int64)
+
+        def lit(b):
+            return np.full((n, 1), b, dtype=np.uint8), ones
+
+        def seg_binary(parts):
+            """[(B (n,w), L)] -> LargeBinaryArray of the per-row
+            concatenation, via ONE boolean-mask compaction."""
+            Bs = np.concatenate([B for B, _ in parts], axis=1)
+            mask = np.concatenate(
+                [np.arange(B.shape[1])[None, :] < L[:, None] for B, L in parts],
+                axis=1)
+            total = parts[0][1].copy()
+            for _, L in parts[1:]:
+                total += L
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(total, out=offs[1:])
+            data = Bs[mask]
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())])
+
+        BLi, nLi = varint_matrix(Li)            # inner string-length varint
+        BLc, nLc = varint_matrix(Lc)
+        BOi, nOi = varint_matrix(1 + nLi + Li)  # outer Value-message length
+        BOc, nOc = varint_matrix(1 + nLc + Lc)
+        zz = 2 * np.abs(self._sk) - (self._sk < 0)
+        Bsk, Lsk = varint_matrix(zz)
+
+        hdr_i = seg_binary([lit(0x22), (BOi, nOi), lit(0x0A), (BLi, nLi)])
+        hdr_c = seg_binary([lit(0x22), (BOc, nOc), lit(0x0A), (BLc, nLc)])
+        sk_seg = seg_binary([lit(0x22),
+                             ((1 + Lsk).astype(np.uint8)[:, None], ones),
+                             lit(0x30), (Bsk, Lsk)])
+        joined = pc.binary_join_element_wise(
+            hdr_i, ids, hdr_c, caps, sk_seg,
+            pa.scalar(b"", type=pa.large_binary()))
+        val_off = np.frombuffer(joined.buffers()[1], dtype=np.int64,
+                                count=n + 1).copy()
+        val_flat = joined.buffers()[2].to_pybytes()[:int(val_off[-1])]
         return val_off, val_flat
 
     def encode_tiles(self, tile_starts: np.ndarray, tile_ends: np.ndarray,

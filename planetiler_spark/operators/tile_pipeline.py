@@ -243,10 +243,29 @@ def _grouped_by_tile(df: DataFrame, partitions: int | None, order_cols: list[str
     return shuffled, stream
 
 
+def _cumcount(keys: np.ndarray) -> np.ndarray:
+    """Order-preserving rank within each key group (pandas
+    groupby.cumcount, pure numpy)."""
+    _, inv = np.unique(keys, return_inverse=True)
+    perm = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rank = np.empty(len(keys), dtype=np.int64)
+    rank[perm] = np.arange(len(keys), dtype=np.int64) - np.repeat(starts, counts)
+    return rank
+
+
 def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
                         thin_limit: int | None = None,
                         grid_px: int = 32) -> DataFrame:
     """Sorted consecutive-tile grouping -> one MVT blob per tile.
+
+    ARROW-NATIVE reduce (mapInArrow): record batches stream straight from the
+    shuffle — tile ids/coords as zero-copy numpy views, image_id/caption stay
+    Arrow string arrays end-to-end (PointTileStream casts offsets once; no
+    arrow->pandas->object->arrow round-trip, which cost ~1.2us/row).
+    Carry-over across batch boundaries uses zero-copy RecordBatch.slice.
 
     thin_limit: label-grid density cap applied INSIDE the reduce (rows arrive
     sorted by key, i.e. sortKey order — FeatureGroup.TileFeatures.add:616-637
@@ -254,44 +273,93 @@ def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
     Costs no extra shuffle; use the standalone `label_grid_thin` (salted
     windows) instead when data must shrink BEFORE the shuffle."""
     import hashlib
+    import pyarrow as pa
     cell = grid_px * mvt.EXTENT // 256
+    p = partitions or feats.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    shuffled = (feats.repartition(int(p), "tile_id")
+                .sortWithinPartitions("tile_id", "key", "image_id"))
 
-    def reduce_tiles(pdf: pd.DataFrame):
-        tids = pdf["tile_id"].to_numpy()
+    def reduce_tiles(chunks: list[pa.RecordBatch]):
+        tbl = pa.Table.from_batches(chunks)
+        tids = tbl.column("tile_id").to_numpy()
+        ex = tbl.column("ex").to_numpy().astype(np.int64)
+        ey = tbl.column("ey").to_numpy().astype(np.int64)
+        sk = tbl.column("sort_key").to_numpy().astype(np.int64)
+        ids = tbl.column("image_id")
+        caps = tbl.column("caption")
         if thin_limit is not None:
             # vectorized label-grid cap: rows are already in (tile, sortKey)
             # order, so rank-within-(tile,cell) = order of appearance
-            gx = pdf["ex"].to_numpy() // cell
-            gy = pdf["ey"].to_numpy() // cell
-            cell_key = pd.Series((tids << 16) ^ ((gx & 0xFF) << 8) ^ (gy & 0xFF))
-            rank = cell_key.groupby(cell_key, sort=False).cumcount().to_numpy()
-            keep = rank < thin_limit
+            cell_key = (tids << 16) ^ (((ex // cell) & 0xFF) << 8) ^ ((ey // cell) & 0xFF)
+            keep = _cumcount(cell_key) < thin_limit
             if not keep.all():
-                pdf = pdf[keep]
-                tids = tids[keep]
+                idx = np.nonzero(keep)[0]
+                tids, ex, ey, sk = tids[idx], ex[idx], ey[idx], sk[idx]
+                ids = ids.take(pa.array(idx))
+                caps = caps.take(pa.array(idx))
         n = len(tids)
         if n == 0:
-            return
+            return None
         starts = np.nonzero(np.diff(tids, prepend=tids[0] - 1))[0]
         ends = np.append(starts[1:], n)
         xs, ys, zs = tm.tile_decode(tids[starts])
-        stream = mvt.PointTileStream(
-            pdf["ex"].to_numpy(), pdf["ey"].to_numpy(),
-            pdf["sort_key"].to_numpy(), pdf["image_id"].to_numpy(),
-            pdf["caption"].to_numpy())
+        stream = mvt.PointTileStream(ex, ey, sk, ids, caps)
         blobs = list(stream.encode_tiles(starts, ends))
-        yield pd.DataFrame({
-            "tile_id": tids[starts],
-            "zoom": zs.astype(np.int32), "x": xs.astype(np.int32),
-            "y": ys.astype(np.int32),
-            "n_features": (ends - starts).astype(np.int64),
-            "tile_bytes": blobs,
-            "content_hash": [hashlib.sha256(b).hexdigest()[:16] for b in blobs],
-        })
+        return pa.RecordBatch.from_arrays([
+            pa.array(tids[starts], type=pa.int64()),
+            pa.array(zs.astype(np.int32), type=pa.int32()),
+            pa.array(xs.astype(np.int32), type=pa.int32()),
+            pa.array(ys.astype(np.int32), type=pa.int32()),
+            pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+            pa.array(blobs, type=pa.binary()),
+            pa.array([hashlib.sha256(b).hexdigest()[:16] for b in blobs],
+                     type=pa.string()),
+        ], names=["tile_id", "zoom", "x", "y", "n_features",
+                  "tile_bytes", "content_hash"])
 
-    shuffled, stream = _grouped_by_tile(feats, partitions,
-                                        ["key", "image_id"], reduce_tiles)
-    return shuffled.mapInPandas(stream, TILE_SCHEMA)
+    def stream_batches(batches):
+        # consecutive-run grouping with zero-copy carry-over (the arrow twin
+        # of _grouped_by_tile's pandas stream; same O(total) chunk holding)
+        held: list[pa.RecordBatch] = []
+        held_tile: int | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tids = rb.column(rb.schema.get_field_index("tile_id")).to_numpy()
+            if len(tids) > 1 and not np.all(tids[1:] >= tids[:-1]):
+                raise ValueError("encode_vector_tiles: batch not sorted by "
+                                 "tile_id (upstream sortWithinPartitions missing?)")
+            if held and held_tile != tids[0]:
+                out = reduce_tiles(held)
+                if out is not None:
+                    yield out
+                held = []
+            last_start = int(np.searchsorted(tids, tids[-1], side="left"))
+            if held and last_start == 0:
+                held.append(rb)  # whole batch continues the held tile
+                continue
+            if held:
+                first_end = int(np.searchsorted(tids, tids[0], side="right"))
+                held.append(rb.slice(0, first_end))
+                out = reduce_tiles(held)
+                if out is not None:
+                    yield out
+                held = []
+                body = rb.slice(first_end, last_start - first_end)
+            else:
+                body = rb.slice(0, last_start)
+            if body.num_rows:
+                out = reduce_tiles([body])
+                if out is not None:
+                    yield out
+            held = [rb.slice(last_start)]
+            held_tile = int(tids[-1])
+        if held:
+            out = reduce_tiles(held)
+            if out is not None:
+                yield out
+
+    return shuffled.mapInArrow(stream_batches, TILE_SCHEMA)
 
 
 def encode_raster_tiles(patches: DataFrame, partitions: int | None = None) -> DataFrame:
