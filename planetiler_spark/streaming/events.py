@@ -77,9 +77,12 @@ def run_available_now(stream_df: DataFrame, query_name: str,
         if not st["isDataAvailable"] and not st["isTriggerActive"]:
             break  # idle between triggers: safe to stop without aborting work
         prog = q.recentProgress
-        if prog and prog[-1]["numInputRows"] == 0:
-            break  # drained: last epoch saw no input (stateful queries keep
-            # isDataAvailable pending on processing-time timeouts)
+        if prog and prog[-1]["numInputRows"] == 0 and not st["isTriggerActive"]:
+            # drained: last completed epoch saw no input (stateful queries keep
+            # isDataAvailable pending on timeouts). The trigger-inactive check
+            # matters: stopping while the final timeout-flush batch is still
+            # RUNNING commits only part of its output to the memory sink.
+            break
     q.stop()
     q.awaitTermination(60)
     return spark.table(query_name)

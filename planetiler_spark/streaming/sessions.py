@@ -1,90 +1,120 @@
 """Custom stateful streaming operator: incremental sessionization with
-`applyInPandasWithState`.
+`applyInPandasWithState`, tolerant of cross-batch late data.
 
 The batch engine sessionizes with a lag-window (plans/queries.py
 events_sessionize). This operator maintains the same 30-minute-gap semantics
-INCREMENTALLY across micro-batches: per-user open-session state (start, last
-event ts, count) lives in the state store; sessions close when a new event
-arrives past the gap or the state times out, and closed sessions are emitted
-downstream. This is the `applyInPandasWithState` pattern for custom stateful
-operators (the reference engine is batch-only, SURVEY §2.10).
+INCREMENTALLY across micro-batches with WATERMARK-BOUNDED buffering:
 
-Ordering contract: micro-batches must arrive in event-time order ACROSS
-batches (the normal shape for ingest directories where files land in time
-order); events may be arbitrarily unordered WITHIN a batch (sorted here).
-Cross-batch late data would need a watermark-bounded buffer in the state —
-out of scope, matching the watermark semantics of windowed aggs in
-streaming/events.py."""
+  - per-user state holds the raw event-time buffer of every event that could
+    still be affected by late arrivals;
+  - a session is emitted (and its events dropped from the buffer) only once
+    `session_end <= watermark - gap`: by the watermark guarantee no future
+    event can be early enough to join or split it, so emission is FINAL and
+    exactly-once in append mode;
+  - events may arrive out of order both within a batch and ACROSS batches,
+    as long as they are no later than the configured watermark delay —
+    the same contract as Spark's windowed aggregations;
+  - event-time timeouts flush users that stop receiving events once the
+    watermark passes their last session's close point.
+
+This is the `applyInPandasWithState` pattern for custom stateful operators
+(the reference engine is batch-only, SURVEY §2.10)."""
 
 from __future__ import annotations
 
 import pandas as pd
 
 SESSION_GAP_S = 1800
+GAP_US = SESSION_GAP_S * 1_000_000
+WATERMARK_DELAY = "30 minutes"
 
 OUTPUT_SCHEMA = ("user_id long, session_start timestamp, session_end timestamp, "
                  "n_events long, closed boolean")
-STATE_SCHEMA = "start long, last long, n long"
+STATE_SCHEMA = "buf array<long>"
 
 
-def _sessionize_group(key, pdfs, state):
-    """Fold this micro-batch's events for one user into the running session
-    state; emit every session CLOSED by a gap, keep the open one in state."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        (start, last, n) = state.get
-        state.remove()
-        yield pd.DataFrame({
-            "user_id": [user_id],
-            "session_start": [pd.Timestamp(start, unit="us")],
-            "session_end": [pd.Timestamp(last, unit="us")],
-            "n_events": [n], "closed": [True],
-        })
-        return
-
-    ts = []  # microseconds: exact round-trip of Spark timestamps
-    for pdf in pdfs:
-        ts.extend(pdf["ts"].astype("int64").floordiv(1_000).tolist())
-    ts.sort()
-    if state.exists:
-        start, last, n = state.get
-    else:
-        start = last = None
-        n = 0
-    out = {k: [] for k in ("user_id", "session_start", "session_end",
-                           "n_events", "closed")}
-    for t in ts:
+def _sessions_of(ts_sorted: list[int]):
+    """Sorted event times (us) -> [(start, last, n)] under the gap rule."""
+    sessions = []
+    start = last = None
+    n = 0
+    for t in ts_sorted:
         if start is None:
             start, last, n = t, t, 1
-        elif t - last > SESSION_GAP_S * 1_000_000:
-            out["user_id"].append(user_id)
-            out["session_start"].append(pd.Timestamp(start, unit="us"))
-            out["session_end"].append(pd.Timestamp(last, unit="us"))
-            out["n_events"].append(n)
-            out["closed"].append(True)
+        elif t - last > GAP_US:
+            sessions.append((start, last, n))
             start, last, n = t, t, 1
         else:
             last = t
             n += 1
-    state.update((start, last, n))
-    state.setTimeoutDuration(SESSION_GAP_S * 1000)
-    if out["user_id"]:
-        yield pd.DataFrame(out)
+    if start is not None:
+        sessions.append((start, last, n))
+    return sessions
 
 
-def sessionize_stream(events):
-    """events stream -> closed-session stream (append mode)."""
+def _sessionize_group(key, pdfs, state):
+    """Merge this micro-batch's events (possibly late/out-of-order) into the
+    user's watermark-bounded buffer; emit every session that the watermark
+    has made FINAL, keep the rest buffered."""
+    (user_id,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    cutoff = wm_us - GAP_US
+
+    new_ts: list[int] = []
+    for pdf in pdfs:
+        new_ts.extend(pdf["ts"].astype("int64").floordiv(1_000).tolist())
+    buf = list(state.get[0]) if state.exists else []
+    ts = sorted(buf + new_ts)
+    if not ts:
+        if state.exists:
+            state.remove()
+        return
+
+    sessions = _sessions_of(ts)
+    closed = [s for s in sessions if s[1] <= cutoff]
+    kept = [s for s in sessions if s[1] > cutoff]
+
+    if kept:
+        import bisect
+        state.update((ts[bisect.bisect_left(ts, kept[0][0]):],))
+        # flush when the watermark reaches the EARLIEST kept session's close
+        # point — arming at the latest would strand intermediate sessions
+        # that become final while the user receives no new events (each
+        # firing emits everything final so far and re-arms for the next).
+        # Firing marginally early is harmless: the handler re-evaluates the
+        # cutoff and re-arms.
+        timeout_ms = max(kept[0][1] // 1000 + SESSION_GAP_S * 1000,
+                         wm_us // 1000 + 1)
+        state.setTimeoutTimestamp(timeout_ms)
+    elif state.exists:
+        state.remove()
+
+    if closed:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(closed),
+            "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
+            "session_end": [pd.Timestamp(s[1], unit="us") for s in closed],
+            "n_events": [s[2] for s in closed],
+            "closed": [True] * len(closed),
+        })
+
+
+def sessionize_stream(events, watermark_delay: str = WATERMARK_DELAY):
+    """events stream -> closed-session stream (append mode). Late events
+    within `watermark_delay` are merged into the correct session even when
+    they arrive in a LATER micro-batch."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (events
             .select("user_id", "ts")
+            .withWatermark("ts", watermark_delay)
             .groupBy("user_id")
             .applyInPandasWithState(
                 _sessionize_group,
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
 def flush_open_sessions_batch(spark, events_dir: str):

@@ -51,11 +51,55 @@ def test_stateful_sessions_match_batch(spark, drained):
     for r in closed:
         assert (r.user_id, r.session_start, r.session_end, r.n_events) in batch_keys, r
 
-    # closed + still-open (per user at most one) == all batch sessions
-    n_users_open = len({r.user_id for r in batch}) \
-        - 0  # upper bound; the open tail per user may or may not be closed
+    # sessions not yet emitted are exactly those the final watermark hasn't
+    # made final (session_end > wm - gap); everything earlier MUST be closed
     assert len(closed) <= len(batch)
-    assert len(batch) - len(closed) <= len({r.user_id for r in batch})
+    if closed:
+        import pandas as pd
+        wm_us = max(pd.Timestamp(r.session_end).value // 1000 for r in closed)
+        for r in batch:
+            end_us = pd.Timestamp(r.session_end).value // 1000
+            # 1s margin absorbs ms-rounding on the timeout edge
+            if end_us <= wm_us - 1_000_000:  # earlier than latest closed -> must close
+                assert (r.user_id, r.session_start, r.session_end,
+                        r.n_events) in {(c.user_id, c.session_start,
+                                         c.session_end, c.n_events)
+                                        for c in closed}
+
+
+def test_cross_batch_late_event(spark, tmp_path_factory):
+    """An event arriving one micro-batch LATE (but within the watermark
+    delay) must merge into the session it belongs to — the
+    watermark-bounded buffer, not the old in-order-across-batches
+    contract."""
+    import time
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("late") / "events")
+    base = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta("1min")
+    batches = [
+        # batch 1: session starts [0, 10min]
+        pd.DataFrame({"user_id": [1, 1], "event_id": [1, 2],
+                      "ts": [base, base + 10 * m]}),
+        # batch 2: event at 5min arrives LATE (previous batch already at
+        # 10min) + a separate later session at 120min
+        pd.DataFrame({"user_id": [1, 1], "event_id": [3, 4],
+                      "ts": [base + 5 * m, base + 120 * m]}),
+        # batch 3: advances the watermark far enough to finalize [0..10min]
+        pd.DataFrame({"user_id": [1], "event_id": [5],
+                      "ts": [base + 240 * m]}),
+    ]
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+    closed = se.run_available_now(
+        ss.sessionize_stream(se.stream_events(spark, d)),
+        "late_out", output_mode="append").collect()
+    got = {(r.user_id, pd.Timestamp(r.session_start),
+            pd.Timestamp(r.session_end), r.n_events) for r in closed}
+    # the late 5min event merged into the first session -> 3 events
+    assert (1, base, base + 10 * m, 3) in got, got
 
 
 def test_stateful_sessions_event_conservation(spark, events_dir, drained):
