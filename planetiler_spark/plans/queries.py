@@ -1123,21 +1123,67 @@ def text_quality(spark, sf_dir):
         F.sum(F.when(F.col("n_tokens") >= 40, 1).otherwise(0)).cast("long").alias("n_long"))
 
 
+# language identification: per-language stopword-profile scores via the
+# portable length-difference occurrence count, argmax with deterministic
+# tie-break order. ASCII-only markers keep char-length math identical across
+# engines.
+_LANG_PROFILES = (
+    ("en", ("the", "and", "for")),
+    ("de", ("der", "und", "die")),
+    ("fr", ("le", "la", "et")),
+    ("es", ("el", "los", "una")),
+)
+
+
+def _lang_score(col: str, words) -> str:
+    parts = [
+        f"CAST((length({col}) - length(replace({col}, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in words]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _lang_pred(col: str) -> str:
+    scores = {lang: _lang_score(col, words) for lang, words in _LANG_PROFILES}
+    total = " + ".join(scores.values())
+    branches = []
+    langs = [lang for lang, _ in _LANG_PROFILES]
+    for i, lang in enumerate(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = " AND ".join(f"{scores[lang]} >= {o}" for o in others)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return (f"(CASE WHEN ({total}) = 0 THEN 'und' "
+            + " ".join(branches) + " ELSE 'und' END)")
+
+
 @query(
     "lang_stats",
-    """
-    SELECT lang, count(*) AS n_docs,
+    f"""
+    SELECT lang, {_lang_pred('text')} AS pred_lang, count(*) AS n_docs,
+           CAST(sum({_lang_score('text', _LANG_PROFILES[0][1])}) AS BIGINT) AS en_score_sum,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-    FROM documents GROUP BY lang
+    FROM documents GROUP BY 1, 2
     """,
 )
 def lang_stats(spark, sf_dir):
+    """Language stats + language IDENTIFICATION: per-language stopword-profile
+    scores (en/de/fr/es marker words counted with the portable
+    length-difference trick) and a deterministic argmax prediction, grouped by
+    (labeled lang, predicted lang) — the n-gram-heuristic lang-ID operator of
+    a training-data pipeline, fully codegen (no UDF).
+
+    Honesty note: the synthetic documents fixture draws the SAME vocabulary
+    for every `lang` label, so predictions collapse to the tie-break winner
+    here; the gate verifies the scoring/argmax arithmetic bit-for-bit
+    cross-engine, while real corpora exercise the profiles."""
     d = tbl(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("sum_chars"),
-        F.countDistinct("source").cast("long").alias("n_sources"))
+    return (d.withColumn("pred_lang", F.expr(_lang_pred("text")))
+            .groupBy("lang", "pred_lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.expr(_lang_score("text", _LANG_PROFILES[0][1])))
+                .cast("long").alias("en_score_sum"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.countDistinct("source").cast("long").alias("n_sources")))
 
 
 # shingle fragment shared by jaccard + minhash: 20-char shingles, stride 4

@@ -32,6 +32,26 @@ def test_single_boundary_in_interior_tile(merged):
     assert len(singles) > 0
 
 
+def test_merge_points_by_attrs(spark):
+    """mergeMultiPoint semantics (FeatureMerge.mergeMultiPoint): same-attr
+    points within a tile collapse into one multipoint row; counts and
+    coordinate sums verify membership exactly."""
+    rows = [
+        # tile 1: two 'poi' points + one 'shop' point
+        (1, "poi", 10, 20), (1, "poi", 30, 40), (1, "shop", 5, 5),
+        # tile 2: one 'poi'
+        (2, "poi", 7, 9),
+    ]
+    df = spark.createDataFrame(rows, "tile_id long, kind string, ex long, ey long")
+    got = {(r.tile_id, r.kind): (r.n_points, r.sum_x, r.sum_y)
+           for r in mg.merge_points_by_attrs(df, ["kind"]).collect()}
+    assert got == {
+        (1, "poi"): (2, 40, 60),
+        (1, "shop"): (1, 5, 5),
+        (2, "poi"): (1, 7, 9),
+    }
+
+
 def test_merge_tile_polygons_area_invariants(spark):
     from planetiler_spark.operators import tile_pipeline as tp
     feats = tp.render_zone_features(spark, min_zoom=4, max_zoom=5)
