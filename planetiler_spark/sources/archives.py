@@ -368,6 +368,106 @@ def read_files_archive(base: str) -> dict:
     return out
 
 
+def write_proto_archive(tiles_df, path: str, metadata: dict | None = None) -> int:
+    """Length-delimited protobuf stream archive
+    (stream/WriteableProtoStreamArchive.java:39, schema
+    stream_archive_proto.proto): an empty initialization Entry, one
+    Entry{tile: TileEntry{x,y,z,encoded_data}} per tile, then
+    Entry{finish: FinishEntry{metadata}}. Canonical proto3 encoding
+    (zero-valued scalar fields omitted), hand-rolled with the same varint
+    helpers as the MVT codec. The driver drains toLocalIterator() in tile
+    order — the single-stream ordered-writer shape of write_mbtiles."""
+    from ..kernels.mvt import _varint, _len_delim, _tag
+
+    n = 0
+    with open(path, "wb") as f:
+        f.write(_varint(0))  # initialization: empty Entry (initialize():57)
+        for r in tiles_df.select("zoom", "x", "y", "tile_bytes").toLocalIterator():
+            te = b""
+            if r.x:
+                te += _tag(1, 0) + _varint(int(r.x))
+            if r.y:
+                te += _tag(2, 0) + _varint(int(r.y))
+            if r.zoom:
+                te += _tag(3, 0) + _varint(int(r.zoom))
+            te += _len_delim(4, bytes(r.tile_bytes))
+            ent = _len_delim(1, te)
+            f.write(_varint(len(ent)) + ent)
+            n += 1
+        md = b""
+        for field, key in ((1, "name"), (2, "description"), (3, "attribution"),
+                           (4, "version"), (5, "type"), (6, "format")):
+            if (metadata or {}).get(key):
+                md += _len_delim(field, str(metadata[key]).encode())
+        meta = metadata or {}
+        if meta.get("min_zoom"):
+            md += _tag(9, 0) + _varint(int(meta["min_zoom"]))
+        if meta.get("max_zoom"):
+            md += _tag(10, 0) + _varint(int(meta["max_zoom"]))
+        md += _tag(13, 0) + _varint(1)  # TILE_COMPRESSION_GZIP
+        ent = _len_delim(3, _len_delim(1, md))
+        f.write(_varint(len(ent)) + ent)
+    return n
+
+
+def read_proto_archive(path: str):
+    """Verification reader: ({(z, x, y): bytes}, metadata dict)."""
+    from ..kernels.mvt import _read_varint
+
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    tiles = {}
+    meta = {}
+    off = 0
+
+    def parse_fields(mv):
+        pos = 0
+        out = []
+        while pos < len(mv):
+            key, pos = _read_varint(mv, pos)
+            field, wire = key >> 3, key & 7
+            if wire == 0:
+                v, pos = _read_varint(mv, pos)
+                out.append((field, v))
+            elif wire == 2:
+                ln, pos = _read_varint(mv, pos)
+                out.append((field, bytes(mv[pos:pos + ln])))
+                pos += ln
+            else:
+                raise ValueError(f"unexpected wire type {wire}")
+        return out
+
+    meta_names = {1: "name", 2: "description", 3: "attribution", 4: "version",
+                  5: "type", 6: "format", 9: "min_zoom", 10: "max_zoom",
+                  13: "tile_compression"}
+    while off < len(buf):
+        ln, off = _read_varint(buf, off)
+        entry = buf[off:off + ln]
+        off += ln
+        for field, val in parse_fields(entry):
+            if field == 1:  # tile
+                x = y = z = 0
+                data = b""
+                for tf, tv in parse_fields(memoryview(val)):
+                    if tf == 1:
+                        x = tv
+                    elif tf == 2:
+                        y = tv
+                    elif tf == 3:
+                        z = tv
+                    elif tf == 4:
+                        data = tv
+                tiles[(z, x, y)] = data
+            elif field == 3:  # finish -> metadata
+                for ff, fv in parse_fields(memoryview(val)):
+                    if ff == 1:
+                        for mf, mval in parse_fields(memoryview(fv)):
+                            name = meta_names.get(mf, mf)
+                            meta[name] = (mval.decode() if isinstance(mval, bytes)
+                                          else mval)
+    return tiles, meta
+
+
 def write_csv_archive(tiles_df, path: str, base64_data: bool = True):
     """Streaming CSV archive (stream/WriteableCsvArchive.java:68): one line per
     tile, data base64'd — parallel df.write."""

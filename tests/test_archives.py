@@ -132,6 +132,17 @@ def test_csv_and_json_archives(spark, tiles, tile_map, tmp_path_factory):
     assert base64.b64decode(r0.encoded_data) == tile_map[(r0.z, r0.x, r0.y)]
 
 
+def test_proto_stream_archive_roundtrip(tiles, tile_map, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("proto") / "tiles.pb")
+    n = ar.write_proto_archive(tiles, path, {"name": "t", "format": "pbf",
+                                             "max_zoom": 5})
+    assert n == len(tile_map)
+    got, meta = ar.read_proto_archive(path)
+    assert got == tile_map
+    assert meta["name"] == "t" and meta["format"] == "pbf"
+    assert meta["max_zoom"] == 5 and meta["tile_compression"] == 1
+
+
 def test_all_archives_agree(tile_map):
     # gzip payloads decode to the same MVT bytes regardless of archive
     blob = next(iter(tile_map.values()))
