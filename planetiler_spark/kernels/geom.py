@@ -232,6 +232,80 @@ def innermost_point(rings: list[np.ndarray], tolerance: float = 0.01) -> tuple[f
     return best_xy
 
 
+def polygon_self_intersects(rings: list[np.ndarray]) -> bool:
+    """True if any two non-adjacent edges (within or across rings) PROPERLY
+    cross — the bowtie/self-intersection test behind the repair chain
+    (GeoUtils.snapAndFixPolygon:315-399 calls JTS isValid; proper crossings
+    are the failure mode rounding/clipping actually produces). Vectorized
+    all-pairs orientation test, O(E^2) — polygon rings here are small."""
+    ax, ay, bx, by, rid, sid = [], [], [], [], [], []
+    for k, ring in enumerate(rings):
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 2:
+            continue
+        closed = np.array_equal(r[0], r[-1])
+        p = r[:-1] if closed else r
+        n = len(p)
+        if n < 2:
+            continue
+        nxt = np.roll(np.arange(n), -1)
+        ax.append(p[:, 0]); ay.append(p[:, 1])
+        bx.append(p[nxt, 0]); by.append(p[nxt, 1])
+        rid.append(np.full(n, k)); sid.append(np.arange(n))
+    if not ax:
+        return False
+    ax = np.concatenate(ax); ay = np.concatenate(ay)
+    bx = np.concatenate(bx); by = np.concatenate(by)
+    rid = np.concatenate(rid); sid = np.concatenate(sid)
+    m = len(ax)
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = cross(ax[:, None], ay[:, None], bx[:, None], by[:, None], ax[None, :], ay[None, :])
+    d2 = cross(ax[:, None], ay[:, None], bx[:, None], by[:, None], bx[None, :], by[None, :])
+    d3 = cross(ax[None, :], ay[None, :], bx[None, :], by[None, :], ax[:, None], ay[:, None])
+    d4 = cross(ax[None, :], ay[None, :], bx[None, :], by[None, :], bx[:, None], by[:, None])
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    same_ring = rid[:, None] == rid[None, :]
+    # ring sizes for wrap-around adjacency
+    sizes = np.array([np.sum(rid == k) for k in range(len(rings))])
+    nsz = sizes[rid]
+    dd = np.abs(sid[:, None] - sid[None, :])
+    adjacent = same_ring & ((dd <= 1) | (dd == nsz[:, None] - 1))
+    iu = np.triu_indices(m, 1)
+    return bool((proper & ~adjacent)[iu].any())
+
+
+def repair_polygon(rings: list[np.ndarray], lo: float, hi: float,
+                   grid: int = 512) -> list[np.ndarray]:
+    """snapAndFixPolygon analog (GeoUtils.java:315-399) without GEOS:
+
+    - valid input -> returned unchanged except orientation normalization
+      (OrientationFixer: shells CCW, holes CW in tile coords);
+    - self-intersecting input (bowtie etc.) -> EVEN-ODD raster repair:
+      scanline-fill at `grid` resolution over [lo, hi) and re-trace with
+      marching squares (the same semantics JTS buffer(0) applies, at
+      sub-pixel precision — the geometry snaps to the 4096 grid next, so
+      the raster error is invisible; kernels/union.py rationale).
+    Returns [] when the repaired region is empty."""
+    from . import union as un
+
+    if not rings:
+        return []
+    if not polygon_self_intersects(rings):
+        out = []
+        for i, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 4:
+                continue
+            out.append(ensure_orientation(r, ccw=(i == 0)))
+        return out
+    mask = un.rasterize_rings([np.asarray(r, dtype=np.float64) for r in rings],
+                              grid, lo, hi)
+    return un.trace_contours(mask, lo, hi)
+
+
 def point_on_surface(rings: list[np.ndarray]) -> tuple[float, float]:
     """Interior point (JTS InteriorPointArea analog — the backing of
     FeatureCollector.pointOnSurface:205): intersect the polygon with its

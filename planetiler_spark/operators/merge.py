@@ -27,7 +27,7 @@ from . import render as R
 from .tile_pipeline import _grouped_by_tile
 
 LINE_FEATURES_SCHEMA = ("key long, tile_id long, zoom int, zone_id string, "
-                        "kind string, parts binary")
+                        "kind string, scale int, parts binary")
 MERGED_SCHEMA = ("tile_id long, zoom int, zone_id string, kind string, "
                  "n_pieces long, n_merged long, len_before double, len_after double")
 
@@ -36,27 +36,35 @@ def render_boundary_lines(spark: SparkSession, min_zoom: int = 4,
                           max_zoom: int = 7) -> DataFrame:
     """zones -> boundary linestrings (polygonToLineString) -> per-tile line
     pieces across zooms (TiledGeometry slicing, no simplification so merge
-    length checks are exact)."""
+    length checks are exact). Pieces are stored at the reference's
+    zoom-dependent extra precision (FeatureRenderer.java:262-269 via
+    render.line_scale_bits) and only unscaled AFTER merging."""
     from ..sources import images as src
 
     zones = spark.createDataFrame(src.zones_pdf())
 
     def gen(batches):
         for pdf in batches:
-            rows = {k: [] for k in ("key", "tile_id", "zoom", "zone_id", "kind", "parts")}
+            rows = {k: [] for k in ("key", "tile_id", "zoom", "zone_id",
+                                    "kind", "scale", "parts")}
             for r in pdf.itertuples(index=False):
                 typ, rings = gk.parse_wkb(bytes(r.wkb))
                 for z in range(min_zoom, max_zoom + 1):
-                    for tx, ty, parts in R.slice_line(rings[0], z, tol_px=-1.0):
+                    sb = R.line_scale_bits(z, max_zoom)
+                    for tx, ty, parts in R.slice_line(rings[0], z, tol_px=-1.0,
+                                                      scale_bits=sb):
                         tid = int(tm.tile_encode(tx, ty, z))
                         rows["key"].append(int(tm.encode_sort_key(tid, 2, 0, 0)))
                         rows["tile_id"].append(tid)
                         rows["zoom"].append(z)
                         rows["zone_id"].append(r.zone_id)
                         rows["kind"].append(r.kind)
-                        rows["parts"].append(gk.pack_parts(
-                            [np.round(p * 16).astype(np.int64) for p in parts]))
-            yield pd.DataFrame(rows)
+                        rows["scale"].append(sb)
+                        rows["parts"].append(gk.pack_parts(parts))
+            out = pd.DataFrame(rows)
+            if len(out):
+                out["scale"] = out["scale"].astype("int32")
+            yield out
 
     return zones.repartition(16, "zone_id").mapInPandas(gen, LINE_FEATURES_SCHEMA)
 
@@ -72,13 +80,18 @@ def merge_tile_lines(feats: DataFrame, min_length: float = 0.0,
         out = {k: [] for k in ("tile_id", "zoom", "zone_id", "kind",
                                "n_pieces", "n_merged", "len_before", "len_after")}
         for (tid, zid), grp in pdf.groupby(["tile_id", "zone_id"], sort=True):
+            # merge at the stored extra precision (touching endpoints connect
+            # at exact scaled integers), unscale only afterwards — the
+            # FeatureGroup.java:216-220 unscale-after-merge contract
+            sb = int(grp["scale"].iloc[0]) if "scale" in grp else 0
+            unscale = float(1 << sb)
             pieces = []
             for buf in grp["parts"]:
-                pieces.extend(p.astype(np.float64) / 16.0
+                pieces.extend(p.astype(np.float64) / unscale
                               for p in gk.unpack_parts(bytes(buf)))
             merged = lk.merge_line_strings(pieces, min_length=min_length,
                                            stub_min_length=stub_min_length,
-                                           grid=1 / 16)
+                                           grid=1.0 / unscale)
             x, y, z = tm.tile_decode(np.int64(tid))
             out["tile_id"].append(int(tid))
             out["zoom"].append(int(z))

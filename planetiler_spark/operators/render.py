@@ -195,15 +195,29 @@ def slice_polygon(rings: list[np.ndarray], zoom: int,
             yield tx, ty, "clip", parts
 
 
+LINE_SCALE_BITS_MAX = 31 - 14  # FeatureRenderer.java:268 overflow cap
+
+
+def line_scale_bits(zoom: int, max_zoom: int = 14) -> int:
+    """Extra precision bits for line storage at a zoom
+    (FeatureRenderer.java:262-269): lines keep up to 2^17 sub-extent
+    precision until AFTER merge so rounding can't introduce artificial
+    endpoint intersections; FeatureGroup unscales on emit (:216-220)."""
+    return max(0, min(LINE_SCALE_BITS_MAX, max(max_zoom, 14) - zoom))
+
+
 def slice_line(coords: np.ndarray, zoom: int,
                buffer_tile: float = BUFFER_TILE,
                tol_px: float = SIMPLIFY_TOL_PX,
-               min_len_px: float = 1.0):
+               min_len_px: float = 1.0,
+               scale_bits: int = 0):
     """Slice one world-coordinate linestring into per-tile pieces at a zoom.
     Skips the zoom entirely if the line is below min_len_px on screen
     (FeatureRenderer.java:71-95 cheap prefilter).
 
-    Yields (tile_x, tile_y, parts) with parts = list of int (N,2) EXTENT coords.
+    Yields (tile_x, tile_y, parts) with parts = list of int (N,2) coords in
+    EXTENT << scale_bits units (scale_bits > 0 keeps the reference's extra
+    line precision through merge — see line_scale_bits).
     """
     n = 1 << zoom
     scaled = np.asarray(coords, dtype=np.float64) * n
@@ -226,8 +240,9 @@ def slice_line(coords: np.ndarray, zoom: int,
             scaled, tx - buffer_tile, ty - buffer_tile,
             tx + 1 + buffer_tile, ty + 1 + buffer_tile)
         parts = []
+        ext = EXTENT << scale_bits
         for piece in pieces:
-            snapped = np.round((piece - (tx, ty)) * EXTENT).astype(np.int64)
+            snapped = np.round((piece - (tx, ty)) * ext).astype(np.int64)
             keep = np.ones(len(snapped), dtype=bool)
             keep[1:] = np.any(np.diff(snapped, axis=0) != 0, axis=1)
             snapped = snapped[keep]

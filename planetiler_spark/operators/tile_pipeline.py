@@ -475,14 +475,21 @@ def render_zone_features(spark: SparkSession, min_zoom: int = 0,
     return zones.repartition(16, "zone_id").mapInPandas(gen, ZONE_FEATURES_SCHEMA)
 
 
-def encode_zone_tiles(feats: DataFrame, partitions: int | None = None) -> DataFrame:
+def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,
+                      fix_polygons: bool = True) -> DataFrame:
     """Per-tile MVT encode of the polygon layer; interior tiles reuse ONE
     precomputed constant fill geometry (FeatureRenderer.emitFilledTiles:290 +
-    VectorTile.encodeFill:481 — memoization-friendly by construction)."""
+    VectorTile.encodeFill:481 — memoization-friendly by construction).
+
+    fix_polygons runs the snapAndFixPolygon analog
+    (GeoUtils.java:315-399 -> kernels/geom.repair_polygon) on any fragment
+    whose snapped rings properly self-intersect — the repair the reference
+    applies per tile feature in writeTileFeatures (FeatureRenderer.java:252)."""
     import hashlib
     from ..kernels import geom as gk
 
     fill_cmds = mvt.encode_fill(R.BUFFER_PX)
+    buf_px = R.BUFFER_PX * mvt.EXTENT / 256.0
 
     def reduce_tiles(pdf: pd.DataFrame):
         tids = pdf["tile_id"].to_numpy()
@@ -503,6 +510,10 @@ def encode_zone_tiles(feats: DataFrame, partitions: int | None = None) -> DataFr
                     layer.add_feature(None, mvt.GEOM_POLYGON, fill_cmds, attrs)
                 else:
                     parts = gk.unpack_parts(bytes(parts_a[i]))
+                    if fix_polygons and gk.polygon_self_intersects(parts):
+                        parts = [np.round(r).astype(np.int64)
+                                 for r in gk.repair_polygon(
+                                     parts, -buf_px, mvt.EXTENT + buf_px)]
                     cmds = mvt.encode_geometry(mvt.GEOM_POLYGON, parts)
                     if cmds:
                         layer.add_feature(None, mvt.GEOM_POLYGON, cmds, attrs)

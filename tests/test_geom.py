@@ -184,3 +184,45 @@ def test_polygon_to_linestring():
     lines = g.polygon_to_linestring([sq, sq * 0.5])
     assert len(lines) == 2
     np.testing.assert_allclose(lines[0], sq)
+
+
+# --- polygon validity / repair chain (GeoUtils.snapAndFixPolygon:315-399) ----
+
+def test_self_intersection_detection():
+    import numpy as np
+    from planetiler_spark.kernels import geom as gk
+    bowtie = np.array([[0, 0], [4, 0], [0, 4], [4, 4], [0, 0]], dtype=float)
+    square = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)
+    assert gk.polygon_self_intersects([bowtie])
+    assert not gk.polygon_self_intersects([square])
+    assert not gk.polygon_self_intersects([square, hole])
+    # hole crossing the shell boundary: cross-ring intersection detected
+    esc = np.array([[3, 3], [6, 3], [6, 5], [3, 5], [3, 3]], dtype=float)
+    assert gk.polygon_self_intersects([square, esc])
+
+
+def test_repair_bowtie():
+    import numpy as np
+    from planetiler_spark.kernels import geom as gk
+    bowtie = np.array([[0, 0], [4, 0], [0, 4], [4, 4], [0, 0]], dtype=float)
+    fixed = gk.repair_polygon([bowtie], 0.0, 4.0, grid=256)
+    assert fixed, "repair produced no rings"
+    assert not gk.polygon_self_intersects(fixed)
+    # even-odd bowtie = two triangles of area 4 each (raster tolerance 5%)
+    area = sum(abs(gk.ring_signed_area(r)) for r in fixed)
+    assert abs(area - 8.0) < 0.4, area
+
+
+def test_repair_valid_passthrough():
+    import numpy as np
+    from planetiler_spark.kernels import geom as gk
+    square = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [1, 3], [3, 3], [3, 1], [1, 1]], dtype=float)
+    out = gk.repair_polygon([square, hole], 0.0, 4.0)
+    assert len(out) == 2
+    # orientation normalized: shell CCW (positive signed area), hole CW
+    assert gk.ring_signed_area(out[0]) > 0
+    assert gk.ring_signed_area(out[1]) < 0
+    # vertex sets preserved (no resampling on the valid path)
+    assert {tuple(p) for p in out[0]} == {tuple(p) for p in square}
