@@ -1788,40 +1788,69 @@ def yaml_profile_match(spark, sf_dir):
         F.min(F.col("attrs").getItem("language")).alias("first_language"))
 
 
-@query("tile_polygon_union")  # rows-only: raster-precision polygon union
-def tile_polygon_union(spark, sf_dir):
-    """Per-tile union of overlapping/nearby same-kind polygons
-    (FeatureMerge.mergeOverlappingPolygons:291-300 + mergeNearbyPolygons
-    :323-394) at raster precision (kernels/union.py: scanline fill +
-    morphological close + marching-squares trace) — geometry is about to snap
-    to the 4096 grid anyway, so sub-pixel union error is invisible."""
+@query("tile_feature_merge")  # rows-only: per-tile post-processing (FeatureMerge)
+def tile_feature_merge(spark, sf_dir):
+    """Both per-tile FeatureMerge post-processors in one gate row:
+
+    - `lines`: touching boundary-line pieces re-merged into maximal strokes
+      (FeatureMerge.mergeLineStrings:101-231 / LoopLineMerger.java:40) at the
+      zoom-dependent extra precision, length conserved (asserted in tests);
+    - `polys`: union of overlapping/nearby same-kind polygons
+      (mergeOverlappingPolygons:291-300 + mergeNearbyPolygons:323-394) at
+      raster precision (kernels/union.py) — geometry snaps to the 4096 grid
+      next, so sub-pixel union error is invisible.
+
+    Output: (op, zoom, n_groups, a, b) — lines: (n_pieces, n_strokes);
+    polys: (n_input_polys, n_output_rings)."""
     from ..operators import merge as mg
     from ..operators import tile_pipeline as tp
 
-    feats = tp.render_zone_features(spark, min_zoom=4, max_zoom=5)
-    merged = mg.merge_tile_polygons(feats, min_dist_px=16.0)
-    return merged.groupBy("zoom", "kind").agg(
+    lines = mg.merge_tile_lines(mg.render_boundary_lines(spark, min_zoom=4, max_zoom=6))
+    line_rows = lines.groupBy("zoom").agg(
         F.count("*").alias("n_groups"),
-        F.sum("n_input").cast("long").alias("n_input_polys"),
-        F.sum("n_rings").cast("long").alias("n_output_rings"),
-        F.sum(F.expr("CAST(round(area_out_px2) AS BIGINT)")).alias("area_out"))
+        F.sum("n_pieces").cast("long").alias("a"),
+        F.sum("n_merged").cast("long").alias("b")).select(
+        F.lit("lines").alias("op"), "zoom", "n_groups", "a", "b")
 
-
-@query("tile_line_merge")  # rows-only: per-tile stroke merging (FeatureMerge)
-def tile_line_merge(spark, sf_dir):
-    """Per-tile merge of touching boundary-line pieces into maximal strokes
-    (FeatureMerge.mergeLineStrings:101-231 / LoopLineMerger.java:40):
-    zone rings sliced per tile, re-merged inside the tile reduce; length is
-    conserved exactly (asserted in tests)."""
-    from ..operators import merge as mg
-
-    feats = mg.render_boundary_lines(spark, min_zoom=4, max_zoom=6)
-    merged = mg.merge_tile_lines(feats)
-    return merged.groupBy("zoom").agg(
+    polys = mg.merge_tile_polygons(
+        tp.render_zone_features(spark, min_zoom=4, max_zoom=5), min_dist_px=16.0)
+    poly_rows = polys.groupBy("zoom").agg(
         F.count("*").alias("n_groups"),
-        F.sum("n_pieces").cast("long").alias("n_pieces"),
-        F.sum("n_merged").cast("long").alias("n_strokes"),
-        F.sum(F.expr("CAST(round(len_before * 1000) AS BIGINT)")).alias("len_mils"))
+        F.sum("n_input").cast("long").alias("a"),
+        F.sum("n_rings").cast("long").alias("b")).select(
+        F.lit("polys").alias("op"), "zoom", "n_groups", "a", "b")
+    return line_rows.unionByName(poly_rows)
+
+
+@query("osm_pbf_read")  # rows-only: PBF wire decode is not SQL-expressible
+def osm_pbf_read(spark, sf_dir):
+    """OSM PBF 2-pass scan over REAL data: the reference's own monaco test
+    fixture decoded distributively (driver indexes blob offsets, executors
+    seek+inflate+decode; packed varints via the vectorized
+    numpy reduceat kernel — sources/osm.py), then the pass-2 way->node
+    ordered reassembly join. Aggregates per entity type; exact contents
+    (counts 25423/4106/243, specific node/way/relation, header bounds) are
+    asserted against OsmInputFileTest.java:23-120 in tests/test_osm.py."""
+    import os
+    from ..sources import osm
+
+    path = ("/root/reference/planetiler-core/src/test/resources/"
+            "monaco-latest.osm.pbf")
+    if not os.path.exists(path):
+        raise FileNotFoundError("monaco fixture unavailable in this environment")
+    ents = osm.read_osm_pbf(spark, path)
+    per_type = ents.groupBy("etype").agg(
+        F.count("*").alias("n"),
+        F.sum("id").cast("long").alias("id_checksum"),
+        F.sum(F.size("tags")).cast("long").alias("n_tags"),
+        F.min("id").alias("first_id"), F.max("id").alias("last_id"))
+    geoms = osm.way_geometries(ents).agg(
+        F.count("*").alias("n"),
+        F.sum(F.size("lons")).cast("long").alias("id_checksum"),
+        F.lit(0).cast("long").alias("n_tags"),
+        F.min("way_id").alias("first_id"), F.max("way_id").alias("last_id"))
+    return per_type.withColumn("etype", F.col("etype").cast("int")) \
+        .unionByName(geoms.withColumn("etype", F.lit(99)))
 
 
 @query("streaming_ops")  # rows-only: Structured Streaming surfaces

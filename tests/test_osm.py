@@ -1,0 +1,116 @@
+"""OSM PBF reader vs the reference's own ground truth: monaco-latest.osm.pbf
+with the exact expectations of OsmInputFileTest.java:23-120 (25,423 nodes /
+4,106 ways / 243 relations, specific node/way/relation contents, header
+bounds)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from planetiler_spark.sources import osm
+
+MONACO = "/root/reference/planetiler-core/src/test/resources/monaco-latest.osm.pbf"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(MONACO),
+                                reason="monaco fixture not present")
+
+
+def test_varint_vectorized_decode():
+    # groups: 1, 300, 0, 2^35, max-uint64-ish delta patterns
+    import struct
+    def enc(vals):
+        out = bytearray()
+        for v in vals:
+            v &= (1 << 64) - 1
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+    vals = [0, 1, 127, 128, 300, 16383, 16384, 1 << 35, (1 << 64) - 1, 42]
+    got = osm.decode_packed_varints(enc(vals))
+    assert [int(v) for v in got] == [v & ((1 << 64) - 1) for v in vals]
+    # zigzag round-trip incl. negatives
+    zz = [0, -1, 1, -2, 2, -(1 << 40), 1 << 40]
+    enc_zz = enc([(v << 1) ^ (v >> 63) if v < 0 else v << 1 for v in zz])
+    assert [int(v) for v in osm.unzigzag64(osm.decode_packed_varints(enc_zz))] == zz
+
+
+def test_header():
+    hdr = osm.read_header(MONACO)
+    assert hdr["bbox"] == (7.409205, 7.448637, 43.72335, 43.75169)
+    assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+    assert hdr["writingprogram"] == "osmium/1.8.0"
+
+
+@pytest.fixture(scope="module")
+def decoded():
+    out = {"node": {}, "way": {}, "rel": {}}
+    with open(MONACO, "rb") as f:
+        data = f.read()
+    for bid, off, size, typ in osm.scan_blobs(MONACO):
+        if typ != "OSMData":
+            continue
+        rows = osm.decode_block(osm._inflate_blob(data[off:off + size]))
+        for i in range(len(rows["id"])):
+            et = rows["etype"][i]
+            key = ("node", "way", "rel")[et]
+            out[key][rows["id"][i]] = {c: rows[c][i] for c in rows}
+    return out
+
+
+def test_monaco_counts(decoded):
+    # OsmInputFileTest.java:114-116
+    assert len(decoded["node"]) == 25_423
+    assert len(decoded["way"]) == 4_106
+    assert len(decoded["rel"]) == 243
+
+
+def test_expected_node(decoded):
+    n = decoded["node"][1737114566]
+    assert n["tags"] == {"highway": "crossing", "crossing": "zebra"}
+    assert abs(n["lat"] - 43.7409723) < 1e-7
+    assert abs(n["lon"] - 7.4303278) < 1e-7
+
+
+def test_expected_way(decoded):
+    w = decoded["way"][4097656]
+    assert w["tags"] == {"name": "Avenue Princesse Alice", "lanes": "2",
+                         "maxspeed": "30", "highway": "primary",
+                         "surface": "asphalt", "lit": "yes"}
+    assert w["refs"] == [21912089, 7265761724, 1079750744, 2104793864,
+                         6340961560, 1110560507, 21912093, 6340961559,
+                         21912095, 7265762803, 2104793866, 6340961561,
+                         5603088200, 6340961562, 21912097, 21912099]
+
+
+def test_expected_relation(decoded):
+    r = decoded["rel"][7360630]
+    assert r["tags"]["name"] == "Saint-Roman"
+    assert r["tags"]["type"] == "public_transport"
+    assert r["member_ids"] == [503638817, 503638816, 4939122054,
+                               3465728159, 4939122068, 3805333988]
+    assert r["member_types"] == [osm.WAY, osm.WAY, osm.NODE, osm.NODE,
+                                 osm.NODE, osm.NODE]
+    assert r["member_roles"] == ["platform", "platform", "platform",
+                                 "stop", "platform", "stop"]
+
+
+def test_spark_read_and_way_geometry(spark, decoded):
+    ents = osm.read_osm_pbf(spark, MONACO)
+    counts = {r.etype: r.n for r in
+              ents.groupBy("etype").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {osm.NODE: 25_423, osm.WAY: 4_106, osm.RELATION: 243}
+    # pass 2: way->node ordered reassembly on the REAL data
+    geoms = {r.way_id: (r.lons, r.lats)
+             for r in osm.way_geometries(ents).filter("way_id = 4097656").collect()}
+    lons, lats = geoms[4097656]
+    assert len(lons) == 16
+    first = decoded["node"][21912089]
+    assert abs(lons[0] - first["lon"]) < 1e-9
+    assert abs(lats[0] - first["lat"]) < 1e-9
