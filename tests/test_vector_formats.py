@@ -97,3 +97,44 @@ def test_empty_geom_gpkg(spark):
     """The reference's empty-geom fixture must not crash the reader."""
     feats = vf.read_geopackage(spark, f"{RES}/empty-geom.gpkg").collect()
     assert isinstance(feats, list)  # rows with parseable geometry only
+
+
+def test_end_to_end_shapefile_to_tiles(spark, shp_dir):
+    """A reference user's migration path: read a real shapefile, apply a
+    YAML profile, slice matched points into z10 tiles — the readers feed
+    the same engine surface as every other source."""
+    from pyspark.sql import functions as F
+    from planetiler_spark.plans import profile as pr
+    from planetiler_spark.kernels import tile_math as tm
+    import pandas as pd
+
+    feats = vf.read_shapefile(spark, shp_dir)
+    rules = pr.parse_profile("""
+layers:
+- id: stations
+  features:
+  - include_when: {name: ""}
+    attributes:
+    - key: label
+      tag_value: name
+""")
+    matched = pr.apply_profile(feats, rules)
+    assert matched.count() == 86
+
+    def to_tiles(batches):
+        from planetiler_spark.kernels import tile_math as tmm
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lon = pdf["minx"].to_numpy()
+            lat = pdf["miny"].to_numpy()
+            wx = tmm.get_world_x(lon)
+            wy = tmm.get_world_y(lat)
+            tx, ty = tmm.tile_of_world(wx, wy, 10)
+            yield pd.DataFrame({"tile_id": tmm.tile_encode(tx, ty, 10)})
+
+    tiles = (matched.mapInPandas(to_tiles, "tile_id long")
+             .groupBy("tile_id").count())
+    rows = tiles.collect()
+    assert sum(r["count"] for r in rows) == 86
+    assert 1 <= len(rows) <= 86  # DC-area stations cluster into few z10 tiles
