@@ -403,11 +403,20 @@ class PolygonIndex:
       - get_containing_or_nearest(points, within): containment first, else the
         nearest polygon within `within` distance (:93-124)
 
-    Probe is O(points x polys-per-cell), not O(points x polys): query points
-    are cell-sorted once per batch, then each polygon tests ONLY the points in
-    the cells its (expanded) bbox covers — the numpy analog of the
-    reference's STRtree envelope query (cache-friendly: candidate subsets are
-    tiny, so the probe is CPU-bound, not bandwidth-bound).
+    Probe is cell-major, not polygon-major: at build time every polygon's
+    edges are packed into one flat edge pool and a per-cell CSR slab maps
+    each grid cell to (candidate poly ids, their pooled edge ids, per-poly
+    segment starts). A batch probe sorts points by cell once, then walks the
+    ~hundreds of OCCUPIED CELLS (not the tens of thousands of polygons),
+    evaluating one (points-in-cell x packed-edges) crossing matrix per cell
+    and reducing crossings to per-polygon parity with np.add.reduceat.
+    Even-odd correctness: parity of TOTAL crossings across all of a
+    polygon's rings equals the XOR of per-ring parities, so packing all
+    rings into one segment is exact. Inputs per cell are contiguous
+    (cell-sorted points, pooled-edge gathers), so the kernel is
+    compute-dense rather than gather-bound — this is what lets the join
+    scale with cores instead of hitting the shared-DRAM ceiling the
+    polygon-major loop hit (BENCH/BASELINE.md round-2 analysis).
     """
 
     ids: list
@@ -424,6 +433,73 @@ class PolygonIndex:
         # cell ~ median bbox extent: ~1-4 covered cells per polygon
         spans = np.maximum(bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1])
         self.cell = float(max(np.median(spans), 1e-6)) if len(spans) else 1.0
+        self._build_slabs()
+
+    # -- build-time packing (driver-side, once; the whole object is broadcast) --
+
+    def _build_slabs(self):
+        """Flat edge pool + per-cell CSR slabs (tight for containment, padded
+        by one full cell for the nearest-within fallback)."""
+        ex0, ey0, ex1, ey1 = [], [], [], []
+        estart = np.zeros(len(self.polys) + 1, dtype=np.int64)
+        for i, rings in enumerate(self.polys):
+            for r in rings:
+                ex0.append(r[:-1, 0]); ey0.append(r[:-1, 1])
+                ex1.append(r[1:, 0]); ey1.append(r[1:, 1])
+            estart[i + 1] = estart[i] + sum(len(r) - 1 for r in rings)
+        self._ex0 = np.concatenate(ex0) if ex0 else np.empty(0)
+        self._ey0 = np.concatenate(ey0) if ey0 else np.empty(0)
+        self._ex1 = np.concatenate(ex1) if ex1 else np.empty(0)
+        self._ey1 = np.concatenate(ey1) if ey1 else np.empty(0)
+        self._estart = estart
+        self._cells_tight = self._bucket(pad=0.0)
+        self._cells_pad = self._bucket(pad=self.cell)
+
+    def _bucket(self, pad: float) -> dict:
+        """cell_key -> (poly_ids asc, pooled edge_ids, per-poly seg starts).
+        Fully vectorized build: (poly, cell) incidences via the offset-grid
+        trick, pooled edge ids via one segmented arange, per-cell slabs as
+        views into the shared arrays (no per-cell allocation)."""
+        c = self.cell
+        if not len(self.polys):
+            return {}
+        bb = self.bboxes
+        cx0 = np.floor((bb[:, 0] - pad) / c).astype(np.int64)
+        cx1 = np.floor((bb[:, 2] + pad) / c).astype(np.int64)
+        cy0 = np.floor((bb[:, 1] - pad) / c).astype(np.int64)
+        cy1 = np.floor((bb[:, 3] + pad) / c).astype(np.int64)
+        ncx, ncy = cx1 - cx0 + 1, cy1 - cy0 + 1
+        pidx_l, key_l = [], []
+        for dx in range(int(ncx.max())):
+            for dy in range(int(ncy.max())):
+                m = (dx < ncx) & (dy < ncy)
+                if not m.any():
+                    continue
+                pid = np.nonzero(m)[0].astype(np.int64)
+                key = (cx0[pid] + dx) * np.int64(1 << 31) + (cy0[pid] + dy)
+                pidx_l.append(pid)
+                key_l.append(key)
+        pidx = np.concatenate(pidx_l)
+        keys = np.concatenate(key_l)
+        o = np.lexsort((pidx, keys))  # cell-major, poly ids ascending per cell
+        pidx, keys = pidx[o], keys[o]
+        nedges = np.diff(self._estart)
+        lens = nedges[pidx]
+        ends = np.cumsum(lens)
+        starts_out = ends - lens
+        total = int(ends[-1]) if len(ends) else 0
+        eids_all = (np.arange(total, dtype=np.int64)
+                    - np.repeat(starts_out - self._estart[pidx], lens))
+        run_keys, run_starts = np.unique(keys, return_index=True)
+        run_bounds = np.append(run_starts, len(keys))
+        out = {}
+        for r, key in enumerate(run_keys):
+            lo, hi = run_bounds[r], run_bounds[r + 1]
+            elo = starts_out[lo]
+            out[int(key)] = (pidx[lo:hi],
+                             eids_all[elo:ends[hi - 1]],
+                             starts_out[lo:hi] - elo)
+        return out
 
     def _sorted_cells(self, px, py, pad: float = 0.0):
         """Sort point indices by cell key; return (order, keys_sorted)."""
@@ -450,24 +526,44 @@ class PolygonIndex:
             return np.empty(0, dtype=np.int64)
         return np.concatenate(parts)
 
+    def _cell_runs(self, px, py):
+        """Cell-sort the points; return (order, run_keys, run_starts incl. end)."""
+        order, keys_sorted = self._sorted_cells(px, py)
+        if len(order) == 0:
+            return order, np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+        run_keys, run_starts = np.unique(keys_sorted, return_index=True)
+        return order, run_keys, np.append(run_starts, len(order))
+
+    # point-chunk size per cell: keeps the (chunk x edges) crossing matrix and
+    # its temporaries L2-resident even for edge-dense cells
+    _CHUNK = 256
+
     def get_containing(self, px: np.ndarray, py: np.ndarray):
         """Returns (point_idx, poly_idx) arrays for every containment pair."""
-        order, keys_sorted = self._sorted_cells(px, py)
+        order, run_keys, run_bounds = self._cell_runs(px, py)
         out_pt, out_poly = [], []
-        for i, rings in enumerate(self.polys):
-            minx, miny, maxx, maxy = self.bboxes[i]
-            cand = self._candidates(order, keys_sorted, minx, miny, maxx, maxy)
-            if len(cand) == 0:
+        cells = self._cells_tight
+        for r, key in enumerate(run_keys):
+            slab = cells.get(int(key))
+            if slab is None:
                 continue
-            cx, cy = px[cand], py[cand]
-            m = (cx >= minx) & (cx <= maxx) & (cy >= miny) & (cy <= maxy)
-            cand = cand[m]
-            if len(cand) == 0:
-                continue
-            hit = points_in_polygon(px[cand], py[cand], rings)
-            sel = cand[hit]
-            out_pt.append(sel)
-            out_poly.append(np.full(len(sel), i, dtype=np.int64))
+            pids, eids, starts = slab
+            pts = order[run_bounds[r]:run_bounds[r + 1]]
+            x0, y0 = self._ex0[eids], self._ey0[eids]
+            x1, y1 = self._ex1[eids], self._ey1[eids]
+            for lo in range(0, len(pts), self._CHUNK):
+                chunk = pts[lo:lo + self._CHUNK]
+                cx = px[chunk][:, None]
+                cy = py[chunk][:, None]
+                cond = (y0 > cy) != (y1 > cy)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xi = x0 + (cy - y0) * (x1 - x0) / (y1 - y0)
+                crossings = (cond & (cx < xi)).view(np.uint8)
+                parity = np.add.reduceat(crossings, starts, axis=1) & 1
+                ppos, cpos = np.nonzero(parity.T)  # poly-major like the old loop
+                if len(ppos):
+                    out_pt.append(chunk[cpos])
+                    out_poly.append(pids[ppos])
         if not out_pt:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         pt = np.concatenate(out_pt)
@@ -488,26 +584,52 @@ class PolygonIndex:
         if len(miss) == 0:
             return pt, poly, np.zeros(len(pt), dtype=bool)
         mx, my = px[miss], py[miss]
-        order, keys_sorted = self._sorted_cells(mx, my)
         best_d = np.full(len(miss), np.inf)
         best_i = np.full(len(miss), -1, dtype=np.int64)
-        for i, rings in enumerate(self.polys):
-            minx, miny, maxx, maxy = self.bboxes[i]
-            cand = self._candidates(order, keys_sorted,
-                                    minx - within, miny - within,
-                                    maxx + within, maxy + within)
-            if len(cand) == 0:
-                continue
-            cx, cy = mx[cand], my[cand]
-            m = ((cx >= minx - within) & (cx <= maxx + within) &
-                 (cy >= miny - within) & (cy <= maxy + within))
-            cand = cand[m]
-            if len(cand) == 0:
-                continue
-            d = dist_to_polygon(mx[cand], my[cand], rings)
-            upd = d < best_d[cand]
-            best_d[cand] = np.where(upd, d, best_d[cand])
-            best_i[cand] = np.where(upd, i, best_i[cand])
+        if within <= self.cell:
+            # cell-major: the one-cell-padded slab is a superset of every
+            # polygon within `within` of any point in the cell
+            order, run_keys, run_bounds = self._cell_runs(mx, my)
+            cells = self._cells_pad
+            for r, key in enumerate(run_keys):
+                slab = cells.get(int(key))
+                if slab is None:
+                    continue
+                pids, eids, starts = slab
+                pts = order[run_bounds[r]:run_bounds[r + 1]]
+                x0, y0 = self._ex0[eids], self._ey0[eids]
+                x1, y1 = self._ex1[eids], self._ey1[eids]
+                for lo in range(0, len(pts), self._CHUNK):
+                    chunk = pts[lo:lo + self._CHUNK]
+                    d2 = point_segment_dist_sq(mx[chunk][:, None], my[chunk][:, None],
+                                               x0, y0, x1, y1)
+                    dpoly = np.sqrt(np.minimum.reduceat(d2, starts, axis=1))
+                    # argmin keeps the FIRST (lowest poly id — pids ascending)
+                    # on exact ties, matching the old sequential `d < best_d`
+                    amin = np.argmin(dpoly, axis=1)
+                    rows = np.arange(len(chunk))
+                    best_d[chunk] = dpoly[rows, amin]
+                    best_i[chunk] = pids[amin]
+        else:
+            # rare: fallback radius wider than the grid cell — polygon-major scan
+            order, keys_sorted = self._sorted_cells(mx, my)
+            for i, rings in enumerate(self.polys):
+                minx, miny, maxx, maxy = self.bboxes[i]
+                cand = self._candidates(order, keys_sorted,
+                                        minx - within, miny - within,
+                                        maxx + within, maxy + within)
+                if len(cand) == 0:
+                    continue
+                cx, cy = mx[cand], my[cand]
+                m = ((cx >= minx - within) & (cx <= maxx + within) &
+                     (cy >= miny - within) & (cy <= maxy + within))
+                cand = cand[m]
+                if len(cand) == 0:
+                    continue
+                d = dist_to_polygon(mx[cand], my[cand], rings)
+                upd = d < best_d[cand]
+                best_d[cand] = np.where(upd, d, best_d[cand])
+                best_i[cand] = np.where(upd, i, best_i[cand])
         ok = (best_i >= 0) & (best_d <= within)
         fb_pt = miss[ok]
         fb_poly = best_i[ok]

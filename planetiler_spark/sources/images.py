@@ -18,6 +18,8 @@ PlanetilerTests.java:82-180; this module plays that role for the graft.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -170,6 +172,7 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.vstack([hull, hull[:1]])
 
 
+@functools.lru_cache(maxsize=4)
 def zones_pdf(n_zones: int = N_ZONES) -> pd.DataFrame:
     """n_zones convex polygons around seeded sites (+8 overlapping, +4 with
     holes), in world coordinates. Small enough to broadcast, like the
@@ -199,6 +202,7 @@ def zones_pdf(n_zones: int = N_ZONES) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["zone_id", "wkb", "kind"])
 
 
+@functools.lru_cache(maxsize=4)
 def zones_index(n_zones: int = N_ZONES) -> gk.PolygonIndex:
     pdf = zones_pdf(n_zones)
     ids, polys = [], []
