@@ -238,6 +238,47 @@ def polygon_self_intersects(rings: list[np.ndarray]) -> bool:
     (GeoUtils.snapAndFixPolygon:315-399 calls JTS isValid; proper crossings
     are the failure mode rounding/clipping actually produces). Vectorized
     all-pairs orientation test, O(E^2) — polygon rings here are small."""
+    if sum(len(r) for r in rings) <= 40:
+        # tiny fragments (the overwhelming case after tile clipping): a pure-
+        # Python prologue + scalar pair loop with early exit is ~30x cheaper
+        # than the numpy gather (asarray/roll/concatenate per ring cost more
+        # than the whole O(E^2) test at E~5; same measured pattern as the
+        # small-geometry clip kernels; identical float64 arithmetic)
+        axl, ayl, bxl, byl, ridl, sidl, nszl = [], [], [], [], [], [], []
+        for k, ring in enumerate(rings):
+            pts = [(float(p[0]), float(p[1]))
+                   for p in (ring.tolist() if isinstance(ring, np.ndarray) else ring)]
+            if len(pts) >= 2 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            n = len(pts)
+            if n < 2:
+                continue
+            for s in range(n):
+                x0, y0 = pts[s]
+                x1, y1 = pts[(s + 1) % n]
+                axl.append(x0); ayl.append(y0)
+                bxl.append(x1); byl.append(y1)
+                ridl.append(k); sidl.append(s); nszl.append(n)
+        m = len(axl)
+        for i in range(m - 1):
+            oxi, oyi, pxi, pyi = axl[i], ayl[i], bxl[i], byl[i]
+            dxi, dyi = pxi - oxi, pyi - oyi
+            for j in range(i + 1, m):
+                if ridl[i] == ridl[j]:
+                    dd = sidl[j] - sidl[i]
+                    if dd <= 1 or dd == nszl[i] - 1:
+                        continue
+                d1 = dxi * (ayl[j] - oyi) - dyi * (axl[j] - oxi)
+                d2 = dxi * (byl[j] - oyi) - dyi * (bxl[j] - oxi)
+                if d1 * d2 >= 0:
+                    continue
+                dxj, dyj = bxl[j] - axl[j], byl[j] - ayl[j]
+                d3 = dxj * (oyi - ayl[j]) - dyj * (oxi - axl[j])
+                d4 = dxj * (pyi - ayl[j]) - dyj * (pxi - axl[j])
+                if d3 * d4 < 0:
+                    return True
+        return False
+
     ax, ay, bx, by, rid, sid = [], [], [], [], [], []
     for k, ring in enumerate(rings):
         r = np.asarray(ring, dtype=np.float64)
@@ -258,23 +299,29 @@ def polygon_self_intersects(rings: list[np.ndarray]) -> bool:
     bx = np.concatenate(bx); by = np.concatenate(by)
     rid = np.concatenate(rid); sid = np.concatenate(sid)
     m = len(ax)
+    sizes = np.array([np.sum(rid == k) for k in range(len(rings))])
+    nsz = sizes[rid]
 
     def cross(ox, oy, px, py, qx, qy):
         return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
 
-    d1 = cross(ax[:, None], ay[:, None], bx[:, None], by[:, None], ax[None, :], ay[None, :])
-    d2 = cross(ax[:, None], ay[:, None], bx[:, None], by[:, None], bx[None, :], by[None, :])
-    d3 = cross(ax[None, :], ay[None, :], bx[None, :], by[None, :], ax[:, None], ay[:, None])
-    d4 = cross(ax[None, :], ay[None, :], bx[None, :], by[None, :], bx[:, None], by[:, None])
-    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
-    same_ring = rid[:, None] == rid[None, :]
-    # ring sizes for wrap-around adjacency
-    sizes = np.array([np.sum(rid == k) for k in range(len(rings))])
-    nsz = sizes[rid]
-    dd = np.abs(sid[:, None] - sid[None, :])
-    adjacent = same_ring & ((dd <= 1) | (dd == nsz[:, None] - 1))
-    iu = np.triu_indices(m, 1)
-    return bool((proper & ~adjacent)[iu].any())
+    # blockwise over row chunks: bounds the temporaries at (chunk x m) so a
+    # pathological many-edge fragment can't allocate O(E^2) gigabytes
+    # (ADVICE r2: polygon_self_intersects had no size guard)
+    chunk = max(32, (1 << 22) // max(m, 1))
+    for lo in range(0, m, chunk):
+        s = slice(lo, min(lo + chunk, m))
+        d1 = cross(ax[s, None], ay[s, None], bx[s, None], by[s, None], ax[None, :], ay[None, :])
+        d2 = cross(ax[s, None], ay[s, None], bx[s, None], by[s, None], bx[None, :], by[None, :])
+        d3 = cross(ax[None, :], ay[None, :], bx[None, :], by[None, :], ax[s, None], ay[s, None])
+        d4 = cross(ax[None, :], ay[None, :], bx[None, :], by[None, :], bx[s, None], by[s, None])
+        proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+        same_ring = rid[s, None] == rid[None, :]
+        dd = np.abs(sid[s, None] - sid[None, :])
+        adjacent = same_ring & ((dd <= 1) | (dd == nsz[s, None] - 1))
+        if bool((proper & ~adjacent).any()):
+            return True
+    return False
 
 
 def repair_polygon(rings: list[np.ndarray], lo: float, hi: float,

@@ -172,17 +172,37 @@ class LayerBuilder:
         body += _packed(4, commands)
         self.features.append(body)
 
+    def add_feature_rawgeom(self, fid: int | None, geom_type: int,
+                            geom_field: bytes, attrs: dict | None = None):
+        """add_feature for a PRE-ENCODED geometry field (tag 0x22 + length +
+        command varints), e.g. one slice of polygon_geom_stream's output.
+        Byte-identical to add_feature(fid, geom_type, commands, attrs) when
+        geom_field == _packed(4, commands)."""
+        tags: list[int] = []
+        for k, v in (attrs or {}).items():
+            if v is None:
+                continue
+            ki = self.keys.setdefault(k, len(self.keys))
+            vb = encode_value(v)
+            vi = self.values.setdefault(vb, len(self.values))
+            tags.append(ki)
+            tags.append(vi)
+        body = b""
+        if fid is not None:
+            body += _tag(1, 0) + _varint(int(fid))
+        if tags:
+            body += _packed(2, tags)
+        body += _tag(3, 0) + _varint(geom_type) + geom_field
+        self.features.append(body)
+
     def build(self) -> bytes:
-        body = _tag(15, 0) + _varint(2)  # version 2
-        body += _len_delim(1, self.name.encode("utf-8"))
-        for f in self.features:
-            body += _len_delim(2, f)
-        for k in self.keys:
-            body += _len_delim(3, k.encode("utf-8"))
-        for vb in self.values:
-            body += _len_delim(4, vb)
-        body += _tag(5, 0) + _varint(EXTENT)
-        return body
+        parts = [_tag(15, 0) + _varint(2),  # version 2
+                 _len_delim(1, self.name.encode("utf-8"))]
+        parts.extend(_len_delim(2, f) for f in self.features)
+        parts.extend(_len_delim(3, k.encode("utf-8")) for k in self.keys)
+        parts.extend(_len_delim(4, vb) for vb in self.values)
+        parts.append(_tag(5, 0) + _varint(EXTENT))
+        return b"".join(parts)
 
 
 def encode_tile(layers: list[LayerBuilder], compress: bool = True) -> bytes:
@@ -246,6 +266,83 @@ def _pack_rows(parts, n: int):
     off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(total, out=off[1:])
     return off, Bs[mask]
+
+
+def polygon_geom_stream(rings: list[np.ndarray], ring_feat, n_features: int):
+    """Vectorized polygon command-stream encoder — the polygon twin of
+    PointTileStream (VERDICT r2 #3).
+
+    rings: every ring of every feature in the batch, feature-major
+    ((N,2) int arrays, closed or open); ring_feat: feature index per ring
+    (non-decreasing, in [0, n_features)).
+
+    Returns (off (n_features+1,) int64, flat bytes) where
+    flat[off[f]:off[f+1]] is feature f's COMPLETE Feature.geometry protobuf
+    field (tag 0x22 + length varint + command varints) — byte-identical to
+    _packed(4, encode_geometry(GEOM_POLYGON, parts)) (asserted in test_mvt).
+    Features whose rings all degenerate get an empty slice.
+
+    All per-vertex work (cursor deltas with per-feature reset, zigzag,
+    LEB128, MOVE/LINE/CLOSE headers, per-feature length prefixes) happens in
+    whole-batch numpy; the single boolean-mask compaction in _pack_rows does
+    the ragged interleave."""
+    kept, kfeat = [], []
+    for r, f in zip(rings, ring_feat):
+        p = np.asarray(r)
+        if len(p) > 1 and p[0][0] == p[-1][0] and p[0][1] == p[-1][1]:
+            p = p[:-1]
+        if len(p) < 3:
+            continue
+        kept.append(p)
+        kfeat.append(f)
+    off_out = np.zeros(n_features + 1, dtype=np.int64)
+    if not kept:
+        return off_out, b""
+    rlen = np.array([len(p) for p in kept], dtype=np.int64)
+    feat = np.repeat(np.array(kfeat, dtype=np.int64), rlen)
+    X = np.concatenate([np.asarray(p[:, 0], dtype=np.int64) for p in kept])
+    Y = np.concatenate([np.asarray(p[:, 1], dtype=np.int64) for p in kept])
+    n = len(X)
+    rstart = np.zeros(len(kept), dtype=np.int64)
+    np.cumsum(rlen[:-1], out=rstart[1:])
+    featfirst = np.zeros(n, dtype=bool)
+    featfirst[0] = True
+    featfirst[1:] = feat[1:] != feat[:-1]
+    # cursor deltas: previous vertex in the flat stream (rings of one feature
+    # are adjacent and closing vertices dropped), reset to (0,0) per feature
+    prevX = np.empty(n, dtype=np.int64); prevX[0] = 0; prevX[1:] = X[:-1]
+    prevY = np.empty(n, dtype=np.int64); prevY[0] = 0; prevY[1:] = Y[:-1]
+    prevX[featfirst] = 0; prevY[featfirst] = 0
+    dx = X - prevX
+    dy = Y - prevY
+    Bzx, Lzx = varint_matrix(2 * np.abs(dx) - (dx < 0))
+    Bzy, Lzy = varint_matrix(2 * np.abs(dy) - (dy < 0))
+    # MOVE_TO|1 on ring-first, LINE_TO|(len-1) on ring-second, CLOSE on last
+    Lm = np.zeros(n, dtype=np.int64); Lm[rstart] = 1
+    Bm = np.full((n, 1), _MOVE_TO | (1 << 3), dtype=np.uint8)
+    lva = np.zeros(n, dtype=np.int64)
+    lva[rstart + 1] = _LINE_TO | ((rlen - 1) << 3)
+    Bl, Ll = varint_matrix(lva)
+    Ll = np.where(lva > 0, Ll, 0)
+    Lc = np.zeros(n, dtype=np.int64); Lc[rstart + rlen - 1] = 1
+    Bc = np.full((n, 1), _CLOSE_PATH | (1 << 3), dtype=np.uint8)
+    # per-feature payload length -> field header attached to the first vertex
+    vlen = Lm + Ll + Lzx + Lzy + Lc
+    ffidx = np.nonzero(featfirst)[0]
+    paylen = np.add.reduceat(vlen, ffidx)
+    Bh, Lh = varint_matrix(paylen)
+    Bhdr = np.zeros((n, Bh.shape[1]), dtype=np.uint8)
+    Bhdr[ffidx] = Bh
+    Lhdr = np.zeros(n, dtype=np.int64)
+    Lhdr[ffidx] = Lh
+    Ltag = featfirst.astype(np.int64)
+    Btag = np.full((n, 1), 0x22, dtype=np.uint8)  # field 4, wire 2
+    _, flat = _pack_rows([(Btag, Ltag), (Bhdr, Lhdr), (Bm, Lm), (Bl, Ll),
+                          (Bzx, Lzx), (Bzy, Lzy), (Bc, Lc)], n)
+    pres = feat[ffidx]
+    off_out[pres + 1] = paylen + 1 + Lh
+    np.cumsum(off_out, out=off_out)
+    return off_out, flat.tobytes()
 
 
 class PointTileStream:
@@ -323,10 +420,15 @@ class PointTileStream:
         def as_binary(col):
             # pyarrow input (the mapInArrow path): offsets already built, the
             # cast to large_binary is an offset-width change at most; numpy
-            # object input pays ONE C-level encode for the whole batch
+            # object input pays ONE C-level encode for the whole batch.
+            # SLICED arrays (nonzero offset, e.g. rb.column() of a sliced
+            # RecordBatch) must be re-materialized first: the offsets buffer
+            # below is read from index 0, which would yield wrong lengths
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             if isinstance(col, pa.Array):
+                if col.offset:
+                    col = pa.concat_arrays([col])
                 return col.cast(pa.large_binary())
             return pa.array(col, type=pa.large_string()).cast(pa.large_binary())
 

@@ -488,7 +488,7 @@ def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,
     import hashlib
     from ..kernels import geom as gk
 
-    fill_cmds = mvt.encode_fill(R.BUFFER_PX)
+    fill_field = mvt._packed(4, mvt.encode_fill(R.BUFFER_PX))
     buf_px = R.BUFFER_PX * mvt.EXTENT / 256.0
 
     def reduce_tiles(pdf: pd.DataFrame):
@@ -500,6 +500,24 @@ def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,
         parts_a = pdf["parts"].to_numpy()
         zid_a = pdf["zone_id"].to_numpy()
         kind_a = pdf["kind"].to_numpy()
+        # batch-encode every non-fill geometry in one vectorized pass
+        # (polygon_geom_stream; byte-identical to the per-feature path);
+        # the self-intersect screen + raster repair stay per-feature but the
+        # screen early-outs through the scalar small-fragment path
+        nf = len(pdf)
+        rings, ring_feat = [], []
+        for i in range(nf):
+            if fills[i]:
+                continue
+            parts = gk.unpack_parts(bytes(parts_a[i]))
+            if fix_polygons and gk.polygon_self_intersects(parts):
+                parts = [np.round(r).astype(np.int64)
+                         for r in gk.repair_polygon(
+                             parts, -buf_px, mvt.EXTENT + buf_px)]
+            for r in parts:
+                rings.append(r)
+                ring_feat.append(i)
+        goff, gflat = mvt.polygon_geom_stream(rings, ring_feat, nf)
         out = {k: [] for k in ("tile_id", "zoom", "x", "y", "n_features",
                                "tile_bytes", "content_hash")}
         for g, (s, e) in enumerate(zip(starts, ends)):
@@ -507,16 +525,11 @@ def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,
             for i in range(s, e):
                 attrs = {"zone_id": zid_a[i], "kind": kind_a[i]}
                 if fills[i]:
-                    layer.add_feature(None, mvt.GEOM_POLYGON, fill_cmds, attrs)
-                else:
-                    parts = gk.unpack_parts(bytes(parts_a[i]))
-                    if fix_polygons and gk.polygon_self_intersects(parts):
-                        parts = [np.round(r).astype(np.int64)
-                                 for r in gk.repair_polygon(
-                                     parts, -buf_px, mvt.EXTENT + buf_px)]
-                    cmds = mvt.encode_geometry(mvt.GEOM_POLYGON, parts)
-                    if cmds:
-                        layer.add_feature(None, mvt.GEOM_POLYGON, cmds, attrs)
+                    layer.add_feature_rawgeom(None, mvt.GEOM_POLYGON,
+                                              fill_field, attrs)
+                elif goff[i] < goff[i + 1]:
+                    layer.add_feature_rawgeom(None, mvt.GEOM_POLYGON,
+                                              gflat[goff[i]:goff[i + 1]], attrs)
             blob = mvt.encode_tile([layer])
             out["tile_id"].append(int(tids[s]))
             out["zoom"].append(int(zs[g]))

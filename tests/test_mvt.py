@@ -161,3 +161,61 @@ def test_key_value_interning():
     # "same" appears once (interned); keys k/n appear once each
     assert raw.count(b"same") == 1
     assert raw.count(b"\x1a\x01k") == 1  # key "k" interned once
+
+
+def test_polygon_stream_matches_slow_path():
+    """polygon_geom_stream must be byte-identical to
+    _packed(4, encode_geometry(GEOM_POLYGON, parts)) per feature."""
+    rng = np.random.default_rng(3)
+    feats = []
+    # shell-only, shell+hole, multi-ring, big deltas, negative coords
+    feats.append([np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]])])
+    feats.append([np.array([[0, 0], [4096, 0], [4096, 4096], [0, 4096], [0, 0]]),
+                  np.array([[1000, 1000], [1000, 2000], [2000, 2000], [1000, 1000]])])
+    feats.append([np.array([[-64, -64], [4160, -64], [4160, 4160], [-64, 4160], [-64, -64]])])
+    # degenerate ring (dropped) between real rings
+    feats.append([np.array([[5, 5], [50, 5], [50, 50], [5, 5]]),
+                  np.array([[7, 7], [8, 8], [7, 7]]),  # <3 after close-drop
+                  np.array([[10, 10], [30, 10], [30, 30], [10, 30], [10, 10]])])
+    # all-degenerate feature -> empty slice
+    feats.append([np.array([[1, 1], [2, 2], [1, 1]])])
+    # open (unclosed) ring
+    feats.append([np.array([[0, 0], [10, 0], [10, 10], [0, 10]])])
+    # random polygons incl. >127-vertex ring (multi-byte LINE_TO count)
+    for _ in range(20):
+        n = int(rng.integers(3, 12))
+        ring = rng.integers(-64, 4160, size=(n, 2))
+        ring = np.vstack([ring, ring[:1]])
+        feats.append([ring])
+    big = rng.integers(0, 4096, size=(200, 2))
+    feats.append([np.vstack([big, big[:1]])])
+
+    rings, rf = [], []
+    for f, parts in enumerate(feats):
+        for r in parts:
+            rings.append(r)
+            rf.append(f)
+    off, flat = mvt.polygon_geom_stream(rings, rf, len(feats))
+    for f, parts in enumerate(feats):
+        cmds = mvt.encode_geometry(mvt.GEOM_POLYGON, parts)
+        want = mvt._packed(4, cmds) if cmds else b""
+        assert flat[off[f]:off[f + 1]] == want, f"feature {f}"
+
+
+def test_point_stream_sliced_arrow_input():
+    """Regression (ADVICE r2): a SLICED pyarrow array (nonzero offset) fed to
+    PointTileStream must not corrupt the value stream."""
+    import pyarrow as pa
+
+    ids_full = pa.array(["xx", "abc", "d", "longer-string", "ee"])
+    caps_full = pa.array(["c1", "c2", "c3", "c4", "c5"])
+    sl = slice(2, 5)
+    ids = ids_full.slice(2, 3)
+    caps = caps_full.slice(2, 3)
+    assert ids.offset != 0
+    ex = np.array([1, 2, 3]); ey = np.array([4, 5, 6]); sk = np.array([0, 1, 2])
+    fast = list(mvt.PointTileStream(ex, ey, sk, ids, caps)
+                .encode_tiles(np.array([0]), np.array([3])))
+    dec = mvt.decode_tile(fast[0])
+    got = [f["attrs"]["image_id"] for f in dec["images"]]
+    assert got == ["d", "longer-string", "ee"]
