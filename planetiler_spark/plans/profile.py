@@ -59,8 +59,52 @@ GEOMETRY_TRANSFORMS = {
     "polygon_point_on_surface": ("polygon", "point_on_surface"),
     "point_on_line": ("line", "midpoint"),
     "innermost_point": (None, "innermost_point"),
-    # split_line needs per-zoom length context — not supported here
+    # FeatureCollector::splitLine — emits one line feature per segment of a
+    # way split at intersection nodes (OsmWaySplitter); handled at the OSM
+    # source level by split_line_ways below, not by the point dispatch
+    "split_line": ("line", "split_line"),
 }
+
+
+def split_line_rules(rules: list["Rule"]) -> list["Rule"]:
+    return [r for r in rules if r.geometry == "split_line"]
+
+
+def split_line_ways(ways: DataFrame, rules: list["Rule"],
+                    tags_col: str = "tags", mappings: dict | None = None,
+                    renumber: bool = True) -> DataFrame:
+    """`geometry: split_line` dispatch (FeatureGeometry.java:36-37 ->
+    FeatureCollector.splitLine:142-159; ConfiguredProfile marks matching ways
+    via splitOsmWayAtIntersections:191-197): filter the OSM ways table to the
+    ways matched by any split_line rule, split them at intersection nodes
+    (sources/osm.split_ways_at_intersections), and emit one row per segment
+    per matching rule, tagged with the rule's layer.
+
+    Input ways: DataFrame(id, tags, refs). Output: (layer, way_id, seg,
+    split_id, refs, tags)."""
+    from ..sources.osm import split_ways_at_intersections
+
+    srules = split_line_rules(rules)
+    if not srules:
+        raise ValueError("no split_line rules in schema")
+    tags = F.col(tags_col)
+    any_match = None
+    for rule in srules:
+        c = rule_match_column(rule, tags, mappings, tags_col)
+        any_match = c if any_match is None else (any_match | c)
+    marked = ways.filter(any_match)
+    segs = split_ways_at_intersections(
+        marked.select("id", "refs"), renumber=renumber)
+    segs = segs.join(marked.select(F.col("id").alias("way_id"), tags_col),
+                     "way_id")
+    out = None
+    for rule in srules:
+        part = (segs.filter(rule_match_column(rule, F.col(tags_col),
+                                              mappings, tags_col))
+                .select(F.lit(rule.layer).alias("layer"), "way_id", "seg",
+                        "split_id", "refs", tags_col))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 @dataclass
@@ -413,6 +457,10 @@ def transform_geometry(df: DataFrame, rules: list[Rule],
     tags = F.col(tags_col)
     parts = []
     for idx, rule in enumerate(rules):
+        if rule.geometry == "split_line":
+            # line-emitting transform, dispatched at the OSM source level by
+            # split_line_ways() (needs way/node topology, not WKB)
+            continue
         req, kernel = GEOMETRY_TRANSFORMS[rule.geometry]
         matched = (df.filter(rule_match_column(rule, tags, mappings, tags_col))
                    .filter(geometry_type_matches(F.col(type_col), req))

@@ -712,31 +712,101 @@ def broadcast_enrichment(spark, sf_dir):
     "way_node_join",
     f"""
     WITH nodes AS (SELECT p_partkey, {X.lcg('p_partkey', 2)} AS loc FROM part),
+    -- unique contiguous positions per way (l_linenumber repeats in the
+    -- fixture; tied rows are identical so row_number is output-deterministic)
     members AS (
-      SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey FROM lineitem
+      SELECT l_orderkey AS way_id,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos,
+             l_partkey AS node_id
+      FROM lineitem
+    ),
+    looked_up AS (
+      SELECT way_id, count(*) AS n_nodes,
+             CAST(sum(pos * loc) AS BIGINT) AS path_checksum,
+             min(loc) AS min_loc, max(loc) AS max_loc
+      FROM members JOIN nodes ON p_partkey = node_id
+      GROUP BY way_id
+    ),
+    -- split_line: intersection nodes (used >1 time anywhere), interior
+    -- positions split the way, junction node duplicated into both segments
+    bounds AS (SELECT way_id, min(pos) AS pmin, max(pos) AS pmax
+               FROM members GROUP BY way_id),
+    shared AS (SELECT node_id FROM members GROUP BY node_id HAVING count(*) > 1),
+    flags AS (
+      SELECT m.way_id, m.pos,
+             CASE WHEN s.node_id IS NOT NULL AND m.pos > b.pmin AND m.pos < b.pmax
+                  THEN 1 ELSE 0 END AS is_split
+      FROM members m
+      JOIN bounds b ON b.way_id = m.way_id
+      LEFT JOIN shared s ON s.node_id = m.node_id
+    ),
+    cums AS (
+      SELECT way_id, pos, is_split,
+             sum(is_split) OVER (PARTITION BY way_id ORDER BY pos) AS cum
+      FROM flags
+    ),
+    segrows AS (
+      SELECT way_id, cum AS seg FROM cums
+      UNION ALL
+      SELECT way_id, cum - 1 AS seg FROM cums WHERE is_split = 1
+    ),
+    maxid AS (
+      SELECT CAST(power(10, CAST(ceil(log10(CAST(max(way_id) AS DOUBLE))) AS INT)) AS BIGINT) AS mult
+      FROM members
+    ),
+    segagg AS (
+      SELECT way_id, seg, count(*) AS nref FROM segrows GROUP BY way_id, seg
+    ),
+    splits AS (
+      SELECT way_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(way_id + seg * mult) AS BIGINT) AS sum_split_id,
+             CAST(sum(nref) AS BIGINT) AS n_seg_nodes
+      FROM segagg CROSS JOIN maxid GROUP BY way_id
     )
-    SELECT way_id, count(*) AS n_nodes,
-           CAST(sum(pos * loc) AS BIGINT) AS path_checksum,
-           min(loc) AS min_loc, max(loc) AS max_loc
-    FROM members JOIN nodes ON p_partkey = l_partkey
-    GROUP BY way_id
+    SELECT l.way_id AS way_id, n_nodes, path_checksum, min_loc, max_loc,
+           n_segments, sum_split_id, n_seg_nodes
+    FROM looked_up l JOIN splits sp ON sp.way_id = l.way_id
     """,
 )
 def way_node_join(spark, sf_dir):
     """The OSM way->node location lookup (OsmReader.processWayPass2:534-549
     over LongLongMap): explode members, equi-join the node locations, then
     ordered reassembly per way — verified via a position-weighted checksum
-    (exact int64) so assembly order matters, as in the reference."""
+    (exact int64) so assembly order matters, as in the reference.
+
+    Also gates `split_line` (FeatureGeometry.java:36-37, OsmWaySplitter
+    getSplitIndices:40-52, OsmReader.asSplitLine:866-879 +
+    getSplitWayMultiplier:431-437) through the REAL operator
+    (sources/osm.split_ways_at_intersections): per way it checks the segment
+    count, the renumbered split-id sum (way_id + seg * power-of-10
+    multiplier), and the total segment-node count, which pins the
+    junction-node duplication (n_seg_nodes == n_nodes + n_segments - 1)."""
+    from ..sources import osm
+
     p = tbl(spark, sf_dir, "part").select(
         "p_partkey", F.expr(X.lcg("p_partkey", 2)).alias("loc"))
-    m = tbl(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("way_id"), F.col("l_linenumber").alias("pos"),
-        "l_partkey")
-    j = m.join(p, m.l_partkey == p.p_partkey)
-    return j.groupBy("way_id").agg(
+    m = (tbl(spark, sf_dir, "lineitem")
+         .select(F.col("l_orderkey").alias("way_id"), "l_linenumber",
+                 F.col("l_partkey").alias("node_id"))
+         .withColumn("pos", F.row_number().over(
+             W.partitionBy("way_id").orderBy("l_linenumber", "node_id")))
+         .drop("l_linenumber"))
+    j = m.join(p, m.node_id == p.p_partkey)
+    looked_up = j.groupBy("way_id").agg(
         F.count("*").alias("n_nodes"),
         F.sum(F.col("pos") * F.col("loc")).cast("long").alias("path_checksum"),
         F.min("loc").alias("min_loc"), F.max("loc").alias("max_loc"))
+    ways = (m.groupBy("way_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "node_id"))).alias("pts"))
+            .select(F.col("way_id").alias("id"),
+                    F.expr("transform(pts, x -> x.node_id)").alias("refs")))
+    segs = osm.split_ways_at_intersections(ways)
+    splits = segs.groupBy("way_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("split_id").cast("long").alias("sum_split_id"),
+        F.sum(F.size("refs")).cast("long").alias("n_seg_nodes"))
+    return looked_up.join(splits, "way_id")
 
 
 # ---------------------------------------------------------------------------

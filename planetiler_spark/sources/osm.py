@@ -399,3 +399,58 @@ def way_geometries(entities):
             .select("way_id",
                     F.expr("transform(pts, p -> p.lon)").alias("lons"),
                     F.expr("transform(pts, p -> p.lat)").alias("lats")))
+
+
+def split_ways_at_intersections(ways, renumber: bool = True):
+    """SplitWay emission (OsmWaySplitter.java:40-52 + OsmReader
+    splitWayIfNecessary:440-450 / asSplitLine:866-879 /
+    getSplitWayMultiplier:431-437): among the ways passed in (callers filter
+    to the ways the profile marks via splitOsmWayAtIntersections — in YAML,
+    any way matched by a `geometry: split_line` rule), a node is an
+    INTERSECTION if it appears more than once across all node lists (even
+    twice within one way); each way splits at its interior intersection
+    nodes, the junction node duplicated into both adjacent segments.
+
+    Input: DataFrame(id, refs: array<long>, ...). Output one row per
+    segment: (way_id, seg, split_id, refs) where split_id =
+    way_id + seg * multiplier (multiplier = smallest power of 10 >= the max
+    way id) when renumber, else way_id; join way attributes back on way_id.
+    Un-split ways come back as their single full segment (the reference
+    emits those as plain ways, which BOTH `line:` and `split_line:`
+    process).
+
+    Spark-first shape: the shared-node set is one exploded groupBy (the
+    distributed RoaringBitmap analog), the split indices a windowed cumsum,
+    the junction duplication an explode of a 1-or-2 element array — no
+    per-row Python anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ex = ways.select(F.col("id").alias("way_id"), F.size("refs").alias("n"),
+                     F.posexplode("refs").alias("pos", "node_id"))
+    shared = (ex.groupBy("node_id").agg(F.count("*").alias("uses"))
+              .filter(F.col("uses") > 1)
+              .select("node_id", F.lit(True).alias("shared")))
+    j = ex.join(shared, "node_id", "left")
+    is_split = (F.coalesce(F.col("shared"), F.lit(False)) &
+                (F.col("pos") > 0) & (F.col("pos") < F.col("n") - 1))
+    w = Window.partitionBy("way_id").orderBy("pos")
+    j = j.withColumn("cum", F.sum(is_split.cast("int")).over(w))
+    segs = j.select(
+        "way_id", "pos", "node_id",
+        F.explode(F.when(is_split, F.array(F.col("cum") - 1, F.col("cum")))
+                  .otherwise(F.array(F.col("cum")))).alias("seg"))
+    grouped = (segs.groupBy("way_id", "seg")
+               .agg(F.sort_array(F.collect_list(F.struct("pos", "node_id")))
+                    .alias("pts"))
+               .select("way_id", "seg",
+                       F.expr("transform(pts, p -> p.node_id)").alias("refs")))
+    # multiplier: smallest power of 10 >= max way id (kept lazy via a
+    # broadcast 1-row cross join rather than a driver collect)
+    mult = (ways.agg(F.max("id").alias("max_id"))
+            .select(F.expr("CAST(power(10, CAST(ceil(log10(CAST(max_id AS DOUBLE))) AS INT)) AS BIGINT)")
+                    .alias("mult")))
+    out = grouped.crossJoin(F.broadcast(mult))
+    split_id = (F.col("way_id") + F.col("seg") * F.col("mult")
+                if renumber else F.col("way_id"))
+    return out.select("way_id", "seg", split_id.alias("split_id"), "refs")

@@ -112,3 +112,39 @@ def test_sql_generator_equivalence(spark, features, rules):
         spark_ids = {r.id for r in features.filter(
             pr.rule_match_column(rule, F.col("tags"))).collect()}
         assert duck_ids == spark_ids, rule.layer
+
+
+def test_split_line_dispatch(spark):
+    """`geometry: split_line` end-to-end (FeatureGeometry.java:36-37 ->
+    FeatureCollector.splitLine:142-159, OsmWaySplitter.getSplitIndices:40-52,
+    OsmReader.asSplitLine:866-879): ways matched by the rule split at
+    intersection nodes, junction duplicated, segment ids renumbered by the
+    power-of-10 multiplier; non-matching ways are not split."""
+    from planetiler_spark.plans import profile as pr
+
+    schema = pr.parse_schema("""
+layers:
+- id: roads
+  features:
+  - geometry: split_line
+    include_when: {highway: residential}
+""")
+    assert any(r.geometry == "split_line" for r in schema.rules)
+    ways = spark.createDataFrame([
+        (1, {"highway": "residential"}, [10, 11, 12, 13, 14]),
+        (2, {"highway": "residential"}, [20, 12, 21]),
+        (3, {"highway": "service"}, [10, 11, 12]),   # not matched: no split
+        (4, {"highway": "residential"}, [40, 41]),
+    ], "id long, tags map<string,string>, refs array<long>")
+    out = pr.split_line_ways(ways, schema.rules)
+    rows = {(r.way_id, r.seg): (r.split_id, r.refs) for r in out.collect()}
+    # way 1 splits at node 12 (shared with way 2); way 3 excluded so node 11
+    # is NOT an intersection; multiplier = 10 (max matched way id 4)
+    assert rows == {
+        (1, 0): (1, [10, 11, 12]),
+        (1, 1): (11, [12, 13, 14]),
+        (2, 0): (2, [20, 12]),
+        (2, 1): (12, [12, 21]),
+        (4, 0): (4, [40, 41]),
+    }
+    assert all(r.layer == "roads" for r in out.collect())
