@@ -186,11 +186,21 @@ layers:
 
 
 def test_unsupported_geometry_raises():
-    with pytest.raises(ValueError, match="split_line"):
+    # split_line is supported since round 3 (split_line_ways); a made-up
+    # transform must still be rejected at schema-compile time
+    with pytest.raises(ValueError, match="bogus_transform"):
         pr.parse_schema("""
+layers:
+- id: x
+  features:
+  - geometry: bogus_transform
+    include_when: {k: v}
+""")
+    schema = pr.parse_schema("""
 layers:
 - id: x
   features:
   - geometry: split_line
     include_when: {k: v}
 """)
+    assert schema.rules[0].geometry == "split_line"
