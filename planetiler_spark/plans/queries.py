@@ -272,7 +272,8 @@ def knn_bruteforce(spark, sf_dir):
 
 
 @query("knn_grid", _KNN_ORACLE)  # must equal brute force exactly
-def knn_grid(spark, sf_dir, k: int = 5, grid: int = 16):
+def knn_grid(spark, sf_dir, k: int = 5, grid: int = 16,
+             broadcast_limit: int = 4_000_000):
     """kNN via grid-cell ring expansion — the scale path (PointIndex.java:48-106
     re-expressed as CELL EQUI-JOINS, the H3-ring-expansion pattern of
     SURVEY.md §2.4). The small (broadcast) supplier side is exploded into every
@@ -282,7 +283,16 @@ def knn_grid(spark, sf_dir, k: int = 5, grid: int = 16):
     side is not exploded at all. A probe's top-k is final only when its k-th
     distance <= (r-1)*cell (nothing outside the ring can beat it); unfinished
     probes escalate to the next ring, the tiny remainder brute-forces.
-    Verified identical to knn_bruteforce by the shared oracle."""
+    Verified identical to knn_bruteforce by the shared oracle.
+
+    Broadcast guard (VERDICT r2 #3/#6): the exploded side is |s| * (2r+1)^2
+    rows — 289x at r=8 — fine while the indexed side is broadcastable, a
+    broadcast OOM when it isn't. When the exploded row count would exceed
+    `broadcast_limit`, every join in the plan switches to a SHUFFLE hash join
+    (same equi-join key, no replication of the probe side into memory); the
+    one count() on the indexed side is the same cardinality check the
+    reference's index build implies. Same oracle either way (tested with a
+    tiny limit in test_queries_smoke)."""
     cell_i = X.M31 // grid  # cell width on the integer grid (conservative floor)
     c = tbl(spark, sf_dir, "customer").select(
         "c_custkey", F.expr(_IXC).alias("cix"), F.expr(_IYC).alias("ciy"))
@@ -295,6 +305,13 @@ def knn_grid(spark, sf_dir, k: int = 5, grid: int = 16):
     d2 = ((F.col("cix") - F.col("six")) * (F.col("cix") - F.col("six")) +
           (F.col("ciy") - F.col("siy")) * (F.col("ciy") - F.col("siy")))
 
+    n_s = s.count()
+    max_ring = 8
+    can_broadcast = n_s * (2 * max_ring + 1) ** 2 <= broadcast_limit
+
+    def sized(df):
+        return F.broadcast(df) if can_broadcast else df.hint("shuffle_hash")
+
     def ring_candidates(points, r):
         # supplier replicated to each neighbor cell; join key = probe's own cell
         s_ring = (s.withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
@@ -302,7 +319,7 @@ def knn_grid(spark, sf_dir, k: int = 5, grid: int = 16):
                   .select("s_suppkey", "six", "siy",
                           (F.col("sx") + F.col("dx")).alias("jx"),
                           (F.col("sy") + F.col("dy")).alias("jy")))
-        return (points.join(F.broadcast(s_ring),
+        return (points.join(sized(s_ring),
                             (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")))
                 .withColumn("d2", d2)
                 .withColumn("rank", F.row_number().over(
@@ -327,7 +344,7 @@ def knn_grid(spark, sf_dir, k: int = 5, grid: int = 16):
     # 7 cells brute-force against the (small) supplier side — exact, and the
     # remainder is a vanishing fraction of probes by construction
     done_parts.append(
-        remaining.crossJoin(F.broadcast(s))
+        remaining.crossJoin(F.broadcast(s) if can_broadcast else s)
         .withColumn("d2", d2)
         .withColumn("rank", F.row_number().over(
             W.partitionBy("c_custkey").orderBy("d2", "s_suppkey")))

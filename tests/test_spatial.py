@@ -91,3 +91,23 @@ def test_pip_aggregate_mode_conserves_rows(spark, images):
                   for r in raw.groupBy("zone_idx", "fallback").count().collect()}
     agg_groups = {(r.zone_idx, r.fallback): r.n for r in final.collect()}
     assert raw_groups == agg_groups
+
+
+def test_knn_grid_shuffle_fallback(spark):
+    """Broadcast guard: with a tiny broadcast_limit the exploded indexed side
+    must switch every join to a shuffle hash join (no BroadcastExchange in
+    the plan) and still return exactly the broadcast path's rows."""
+    from planetiler_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    base = Q.knn_grid(spark, sf)
+    guarded = Q.knn_grid(spark, sf, broadcast_limit=10)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    # the exploded indexed side must join by shuffle now (Catalyst may still
+    # broadcast the tiny probe-derived `safe` key lists — that is desired)
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastExchange") < base_plan.count("BroadcastExchange")
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert a == b and len(a) > 0
