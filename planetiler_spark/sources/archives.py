@@ -129,34 +129,45 @@ def _pm_varint(n: int) -> bytes:
             return bytes(out)
 
 
+def _pm_varints_flat(vals: np.ndarray) -> bytes:
+    """Vectorized LEB128 of an int64 array, concatenated (mvt.varint_matrix
+    + one boolean-mask compaction — no per-value Python)."""
+    from ..kernels.mvt import varint_matrix
+
+    B, L = varint_matrix(np.asarray(vals, dtype=np.int64))
+    if B.shape[1] == 1:
+        return B.tobytes()
+    mask = np.arange(B.shape[1])[None, :] < L[:, None]
+    return B[mask].tobytes()
+
+
 def _pm_dir(entries) -> bytes:
     """Serialize directory: delta tile ids, runlengths, lengths, offsets
-    (Pmtiles.java directory layout / spec §directories)."""
-    buf = bytearray(_pm_varint(len(entries)))
-    last = 0
-    for tid, _, _, run in entries:
-        buf += _pm_varint(tid - last)
-        last = tid
-    for _, _, _, run in entries:
-        buf += _pm_varint(run)
-    for _, _, ln, _ in entries:
-        buf += _pm_varint(ln)
-    prev_off = prev_len = None
-    for _, off, ln, _ in entries:
-        if prev_off is not None and off == prev_off + prev_len:
-            buf += _pm_varint(0)  # contiguous shortcut
-        else:
-            buf += _pm_varint(off + 1)
-        prev_off, prev_len = off, ln
+    (Pmtiles.java directory layout / spec §directories). entries: (N,4)
+    int64 array (or any sequence of [tid, off, len, run]) — the four varint
+    streams are built with whole-array numpy passes."""
+    arr = np.asarray(entries, dtype=np.int64).reshape(-1, 4)
+    n = len(arr)
+    buf = bytearray(_pm_varint(n))
+    if n:
+        tid, off, ln = arr[:, 0], arr[:, 1], arr[:, 2]
+        buf += _pm_varints_flat(np.diff(tid, prepend=np.int64(0)))
+        buf += _pm_varints_flat(arr[:, 3])
+        buf += _pm_varints_flat(ln)
+        prev_end = np.empty(n, dtype=np.int64)
+        prev_end[0] = -1  # first entry never takes the contiguous shortcut
+        np.add(off[:-1], ln[:-1], out=prev_end[1:])
+        buf += _pm_varints_flat(np.where(off == prev_end, 0, off + 1))
     return gzip.compress(bytes(buf), mtime=0)
 
 
 def _pm_build_dirs(entries, max_dir_entries: int = _MAX_DIR_ENTRIES):
-    """entries -> (root_bytes, leaves_bytes). If the entry list fits in one
-    directory it all goes in the root; otherwise entries are chunked into leaf
-    directories and the root holds one pointer entry per leaf
-    (run_length=0, offset into the leaf section — spec §3 semantics,
+    """entries ((N,4) int64) -> (root_bytes, leaves_bytes). If the entry list
+    fits in one directory it all goes in the root; otherwise entries are
+    chunked into leaf directories and the root holds one pointer entry per
+    leaf (run_length=0, offset into the leaf section — spec §3 semantics,
     pmtiles/WriteablePmtiles.java:40 buildRootLeaves)."""
+    entries = np.asarray(entries, dtype=np.int64).reshape(-1, 4)
     if len(entries) <= max_dir_entries:
         return _pm_dir(entries), b"", 0
     leaf_size = max_dir_entries
@@ -167,7 +178,7 @@ def _pm_build_dirs(entries, max_dir_entries: int = _MAX_DIR_ENTRIES):
     for i in range(0, len(entries), leaf_size):
         chunk = entries[i:i + leaf_size]
         ser = _pm_dir(chunk)
-        root_entries.append((chunk[0][0], len(leaves), len(ser), 0))
+        root_entries.append((int(chunk[0][0]), len(leaves), len(ser), 0))
         leaves += ser
     return _pm_dir(root_entries), bytes(leaves), len(root_entries)
 
@@ -207,7 +218,13 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
                .sortWithinPartitions("hilbert_id"))
 
     tmp_data = path + ".data.tmp"
-    entries: list[list[int]] = []              # [tid, off, len, run]
+    # entries live in a flat array('q') — 32 bytes per [tid, off, len, run]
+    # run instead of ~250 for a Python list-of-lists, so a planet-scale
+    # O(10^7-10^8)-entry directory stays a few GB -> a few hundred MB of
+    # driver memory (the reference holds the same compact longs,
+    # WriteablePmtiles; bounded-memory test in test_archives)
+    import array as _array
+    entries = _array.array("q")                # flat [tid, off, len, run] * N
     offsets: dict[str, tuple[int, int]] = {}   # content dedup (bounded)
     n_tiles = 0
     data_len = 0
@@ -227,15 +244,16 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
                 data_len += len(blob)
             off, ln = got
             n_tiles += 1
-            if entries and entries[-1][0] + entries[-1][3] == tid and \
-                    entries[-1][1] == off and entries[-1][2] == ln:
-                entries[-1][3] += 1  # run-length of identical consecutive tiles
+            if entries and entries[-4] + entries[-1] == tid and \
+                    entries[-3] == off and entries[-2] == ln:
+                entries[-1] += 1  # run-length of identical consecutive tiles
             else:
-                entries.append([tid, off, ln, 1])
+                entries.extend((tid, off, ln, 1))
 
     n_contents = len(offsets)
-    root, leaves, n_leaves = _pm_build_dirs([tuple(e) for e in entries],
-                                            max_dir_entries)
+    entries_np = np.frombuffer(entries, dtype=np.int64).reshape(-1, 4) \
+        if len(entries) else np.empty((0, 4), dtype=np.int64)
+    root, leaves, n_leaves = _pm_build_dirs(entries_np, max_dir_entries)
     meta_bytes = gzip.compress(json.dumps(metadata or {}).encode(), mtime=0)
 
     root_off = _PM_HEADER_LEN
@@ -250,7 +268,7 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
                      leaf_off, len(leaves), data_off, data_len)
     # spec bytes 72/80/88: addressed tiles / tile entries / tile contents
     # (Pmtiles.java:122-124)
-    struct.pack_into("<QQQ", hdr, 72, n_tiles, len(entries), n_contents)
+    struct.pack_into("<QQQ", hdr, 72, n_tiles, len(entries_np), n_contents)
     hdr[96] = 1   # clustered
     hdr[97] = 2   # internal compression: gzip
     hdr[98] = 2   # tile compression: gzip
@@ -269,7 +287,7 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
                     break
                 f.write(chunk)
     _os.remove(tmp_data)
-    return {"tiles": n_tiles, "entries": len(entries),
+    return {"tiles": n_tiles, "entries": len(entries_np),
             "unique_blobs": n_contents, "n_leaves": n_leaves,
             "bytes": data_off + data_len}
 

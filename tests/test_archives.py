@@ -147,3 +147,47 @@ def test_all_archives_agree(tile_map):
     # gzip payloads decode to the same MVT bytes regardless of archive
     blob = next(iter(tile_map.values()))
     assert gzip.decompress(blob)
+
+
+def test_pmtiles_dir_build_bounded_memory():
+    """1M-entry directory build (VERDICT r2 #7): the compact (N,4) int64
+    entries + vectorized varint streams must round-trip through the
+    root+leaf directories bit-exactly while peak extra memory stays within
+    a few copies of the 32MB entry array (the old list-of-lists held ~250
+    bytes/entry and serialized per-value in Python)."""
+    import tracemalloc
+
+    import numpy as np
+
+    n = 1_000_000
+    rng = np.random.default_rng(5)
+    entries = np.empty((n, 4), dtype=np.int64)
+    entries[:, 0] = np.cumsum(rng.integers(1, 5, n))          # tids ascending
+    lens = rng.integers(30, 4000, n)
+    entries[:, 1] = np.cumsum(lens) - lens                    # contiguous offs
+    entries[:, 2] = lens
+    entries[:, 3] = rng.integers(1, 3, n)                     # run lengths
+    # sprinkle dedup back-references (non-contiguous offsets)
+    back = rng.integers(0, n, 1000)
+    entries[back, 1] = entries[0, 1]
+    entries[back, 2] = entries[0, 2]
+
+    tracemalloc.start()
+    root, leaves, n_leaves = ar._pm_build_dirs(entries)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n_leaves > 0
+    assert peak < 400 * 1024 * 1024, f"peak {peak/1e6:.0f}MB"
+
+    # parse every leaf back and compare entry-for-entry
+    got = np.empty((0, 4), dtype=np.int64)
+    rt, rr, rl, ro = ar._pm_parse_dir(root)
+    pos = 0
+    chunks = []
+    for t, r, ln, off in zip(rt, rr, rl, ro):
+        assert r == 0  # leaf pointer
+        lt, lr, ll, lo = ar._pm_parse_dir(bytes(leaves[off:off + ln]))
+        chunks.append(np.stack([lt, lo, ll, lr], axis=1))
+    got = np.concatenate(chunks)
+    assert got.shape == entries.shape
+    assert np.array_equal(got, entries)
