@@ -73,9 +73,11 @@ def main():
     warm = src.images_df(spark, 2000, partitions=8, with_bytes=False)
     tp.tileset(spark, warm, 0, 6).write.format("noop").mode("overwrite").save()
 
-    # min-of-2 everywhere except the deliberately-O(n*m) brute-force baseline
-    # (a second 45s rep doubles bench wall time for a labeled-slow query)
-    REPS = {"knn_bruteforce": 1}
+    # min-of-2 everywhere; the two kNN queries take min-of-3 — they are the
+    # noisiest under this host's 3-4x multi-core throughput swings (round-2's
+    # knn_bruteforce 11.1->16.3s "regression" was unreproducible host noise;
+    # VERDICT r2 #4 asked for the extra rep)
+    REPS = {"knn_bruteforce": 3, "knn_grid": 3}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]

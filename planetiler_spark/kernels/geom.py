@@ -136,6 +136,40 @@ def ring_signed_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def line_centroid(line: np.ndarray) -> tuple[float, float]:
+    """LENGTH-WEIGHTED linestring centroid (JTS Centroid line semantics —
+    ADVICE r2: the unweighted vertex mean diverges when segment lengths
+    vary): sum of segment midpoints weighted by segment length."""
+    seg = np.sqrt(((line[1:] - line[:-1]) ** 2).sum(axis=1))
+    total = seg.sum()
+    if total == 0:
+        return float(line[:, 0].mean()), float(line[:, 1].mean())
+    mid = (line[1:] + line[:-1]) / 2.0
+    return (float((mid[:, 0] * seg).sum() / total),
+            float((mid[:, 1] * seg).sum() / total))
+
+
+def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float]:
+    """Area centroid honoring holes (JTS Centroid polygon semantics —
+    ADVICE r2: the shell-only centroid ignored holes): hole areas subtract
+    from both the moment and the mass; degenerate (zero-area) polygons fall
+    back to the shell centroid."""
+    ax = abs(ring_signed_area(rings[0]))
+    cx0, cy0 = ring_centroid(rings[0])
+    num_x, num_y, den = ax * cx0, ax * cy0, ax
+    for r in rings[1:]:
+        if len(r) < 4:
+            continue
+        a = abs(ring_signed_area(r))
+        cx, cy = ring_centroid(r)
+        num_x -= a * cx
+        num_y -= a * cy
+        den -= a
+    if abs(den) < 1e-18:
+        return ring_centroid(rings[0])
+    return num_x / den, num_y / den
+
+
 def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
     a = ring_signed_area(ring)
     if abs(a) < 1e-18:

@@ -519,16 +519,16 @@ def _apply_point_kernel(gk, kernel: str, typ: str, parts):
             t = (half - acc[i]) / seg[i]
             p = line[i] + t * (line[i + 1] - line[i])
             return float(p[0]), float(p[1]), True
-        cx, cy = line[:, 0].mean(), line[:, 1].mean()
+        cx, cy = gk.line_centroid(line)  # length-weighted (JTS semantics)
         return float(cx), float(cy), True
     # polygon
     rings = parts
     if kernel == "centroid":
-        cx, cy = gk.ring_centroid(rings[0])
+        cx, cy = gk.polygon_centroid(rings)  # hole-aware (JTS semantics)
         return float(cx), float(cy), True
     if kernel == "centroid_if_convex":
         if gk.is_convex(rings[0]):
-            cx, cy = gk.ring_centroid(rings[0])
+            cx, cy = gk.polygon_centroid(rings)
         else:  # FeatureCollector.centroidIfConvex falls back to pointOnSurface
             cx, cy = gk.point_on_surface(rings)
         return float(cx), float(cy), True

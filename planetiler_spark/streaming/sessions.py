@@ -71,8 +71,12 @@ def _sessionize_group(key, pdfs, state):
         return
 
     sessions = _sessions_of(ts)
-    closed = [s for s in sessions if s[1] <= cutoff]
-    kept = [s for s in sessions if s[1] > cutoff]
+    # STRICT inequality: a session whose last event sits exactly at
+    # cutoff (= watermark - gap) can still be extended by an on-time event
+    # at ts == watermark, since the split rule merges t - last == GAP_US;
+    # emitting it would duplicate/split the session in append mode
+    closed = [s for s in sessions if s[1] < cutoff]
+    kept = [s for s in sessions if s[1] >= cutoff]
 
     if kept:
         import bisect

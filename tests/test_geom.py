@@ -226,3 +226,22 @@ def test_repair_valid_passthrough():
     assert gk.ring_signed_area(out[1]) < 0
     # vertex sets preserved (no resampling on the valid path)
     assert {tuple(p) for p in out[0]} == {tuple(p) for p in square}
+
+
+def test_line_centroid_length_weighted():
+    # one long + one short segment: the vertex mean would sit at x=4/3,
+    # the length-weighted centroid at x=(10*5 + 1*10.5)/11
+    line = np.array([[0.0, 0.0], [10.0, 0.0], [11.0, 0.0]])
+    cx, cy = g.line_centroid(line)
+    assert abs(cx - (10 * 5 + 1 * 10.5) / 11) < 1e-12 and cy == 0.0
+
+
+def test_polygon_centroid_honors_holes():
+    shell = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[2, 1], [3, 1], [3, 3], [2, 3], [2, 1]], dtype=float)
+    cx, cy = g.polygon_centroid([shell, hole])
+    # mass 16 at (2,2) minus mass 2 at (2.5,2): cx = (32 - 5)/14
+    assert abs(cx - 27 / 14) < 1e-12 and abs(cy - 2.0) < 1e-12
+    # shell-only unchanged
+    cx0, cy0 = g.polygon_centroid([shell])
+    assert (cx0, cy0) == (2.0, 2.0)
