@@ -40,13 +40,20 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle=None):
+    """Register a gate query. `oracle` is the DuckDB SQL string, or a
+    0-arg callable returning it (for oracles whose literal tables are
+    expensive to build at import time)."""
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -1782,21 +1789,127 @@ def patch_psnr_verify(spark, sf_dir):
         F.min("psnr").alias("min_psnr"))
 
 
-@query("pip_polygon_index")  # rows-only: real polygons, broadcast grid index
+def _zone_edges_sql() -> str:
+    """Literal (zone_idx, x0, y0, x1, y1) VALUES rows for every ring edge of
+    the 520-zone fixture — repr(float) round-trips float64 exactly, so DuckDB
+    parses bit-identical doubles to the ones the engine probes. Built lazily
+    (callable oracle) because it synthesizes the zone table."""
+    from ..kernels import geom as gk
+    from ..sources import images as src
+
+    pdf = src.zones_pdf()
+    rows = []
+    for idx, wkb in enumerate(pdf["wkb"]):
+        _, rings = gk.parse_wkb(wkb)
+        for r in rings:
+            for (x0, y0), (x1, y1) in zip(r[:-1], r[1:]):
+                rows.append(f"({idx},{float(x0)!r},{float(y0)!r},"
+                            f"{float(x1)!r},{float(y1)!r})")
+    return "VALUES " + ",".join(rows)
+
+
+def _pip_polygon_oracle() -> str:
+    # identical FP expression trees to kernels/geom.points_in_ring and
+    # point_segment_dist_sq, so containment parity and nearest distances
+    # agree bit-for-bit
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ({_IXC}) / 2147483647.0 AS px,
+             ({_IYC}) / 2147483647.0 AS py
+      FROM customer
+    ),
+    edges(zone_idx, x0, y0, x1, y1) AS ({_zone_edges_sql()}),
+    cross_t AS (
+      SELECT p.c_custkey AS c_custkey, e.zone_idx AS zone_idx,
+             sum(CASE WHEN (e.y0 > p.py) <> (e.y1 > p.py)
+                       AND p.px < e.x0 + (p.py - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0)
+                      THEN 1 ELSE 0 END) AS crossings
+      FROM pts p, edges e
+      GROUP BY 1, 2
+    ),
+    contained AS (SELECT c_custkey, zone_idx FROM cross_t WHERE crossings % 2 = 1),
+    missing AS (
+      SELECT c_custkey, px, py FROM pts
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM contained)
+    ),
+    seg AS (
+      SELECT m.c_custkey AS c_custkey, e.zone_idx AS zone_idx, m.px AS px, m.py AS py,
+             e.x0 AS x0, e.y0 AS y0, e.x1 - e.x0 AS dx, e.y1 - e.y0 AS dy
+      FROM missing m, edges e
+    ),
+    tpar AS (
+      SELECT *, greatest(least(((px - x0) * dx + (py - y0) * dy)
+                               / (dx * dx + dy * dy), 1.0), 0.0) AS t
+      FROM seg
+    ),
+    d2s AS (
+      SELECT c_custkey, zone_idx,
+             min((px - (x0 + t * dx)) * (px - (x0 + t * dx))
+                 + (py - (y0 + t * dy)) * (py - (y0 + t * dy))) AS d2
+      FROM tpar GROUP BY 1, 2
+    ),
+    nearest AS (
+      SELECT c_custkey, zone_idx FROM (
+        SELECT c_custkey, zone_idx, sqrt(d2) AS d,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY sqrt(d2), zone_idx) AS rn
+        FROM d2s
+      ) WHERE rn = 1 AND d <= 0.01
+    ),
+    joined AS (
+      SELECT c_custkey, zone_idx, FALSE AS fallback FROM contained
+      UNION ALL
+      SELECT c_custkey, zone_idx, TRUE AS fallback FROM nearest
+    )
+    SELECT CAST(zone_idx AS BIGINT) AS zone_idx, fallback,
+           count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+           min(c_custkey) AS first_key
+    FROM joined GROUP BY zone_idx, fallback
+    """
+
+
+@query("pip_polygon_index", _pip_polygon_oracle)
 def pip_polygon_index(spark, sf_dir):
     """PIP zone assignment with REAL polygons (incl. holes + overlaps) via the
     broadcast polygon index (PolygonIndex.java:20-145 semantics: containment
-    multiplicity + nearest-fallback within threshold). Aggregated per zone so
-    the row count stays stable."""
-    from ..operators import spatial as sp
+    multiplicity + nearest-fallback within threshold), aggregated per zone.
+
+    ORACLE-BACKED since round 3 (VERDICT r2 #8): probe points derive from
+    customer keys through the shared LCG (exact in both engines) and the
+    zone rings are inlined into the DuckDB SQL as literal edges, so the
+    even-odd crossing parity, the nearest point-segment distances, and the
+    tie-breaks are replayed bit-for-bit against the cell-slab index probe."""
+    import numpy as np
+    import pandas as pd
+
     from ..sources import images as src
 
-    imgs = src.images_df(spark, _images_n(sf_dir, 1500), partitions=16, with_bytes=False)
-    joined = sp.pip_zones(imgs, within=0.01)
-    return joined.groupBy("kind", "fallback").agg(
+    idx = src.zones_index()
+    bidx = spark.sparkContext.broadcast(idx)
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.expr(_IXC) / F.lit(2147483647.0)).alias("px"),
+        (F.expr(_IYC) / F.lit(2147483647.0)).alias("py"))
+
+    def probe(batches):
+        index = bidx.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pt, poly, fb = index.get_containing_or_nearest(
+                pdf["px"].to_numpy(), pdf["py"].to_numpy(), 0.01)
+            yield pd.DataFrame({
+                "c_custkey": pdf["c_custkey"].to_numpy()[pt],
+                "zone_idx": poly.astype(np.int64),
+                "fallback": fb,
+            })
+
+    joined = c.mapInPandas(probe, "c_custkey long, zone_idx long, fallback boolean")
+    return joined.groupBy("zone_idx", "fallback").agg(
         F.count("*").alias("n_rows"),
-        F.countDistinct("zone_id").alias("n_zones"),
-        F.min("image_id").alias("first_image"))
+        F.sum("c_custkey").cast("long").alias("sum_key"),
+        F.min("c_custkey").alias("first_key"))
 
 
 def knn_zone_centroids(spark, sf_dir):
@@ -2038,9 +2151,11 @@ def streaming_ops(spark, sf_dir):
 
 @query("archive_write_verify")  # rows-only: sqlite/pmtiles sinks not SQL
 def archive_write_verify(spark, sf_dir):
-    """Write the tileset to MBTiles (normalized, content-dedup'd) AND PMTiles
-    (hilbert-clustered, run-length), read both back, verify tile-for-tile
-    equality — the CompareArchives verification harness as a query."""
+    """Write the tileset to MBTiles (normalized, content-dedup'd), PMTiles
+    (hilbert-clustered, run-length), AND the {z}/{x}/{y}.pbf files archive;
+    read all three back and verify tile-for-tile equality pairwise — the
+    CompareArchives verification harness as a query (every `aux` on a match
+    row must be 0 and all three `n_tiles` equal)."""
     import tempfile
     import uuid
     from ..operators import tile_pipeline as tp
@@ -2055,14 +2170,21 @@ def archive_write_verify(spark, sf_dir):
     tiles.cache().count()
     base = f"{tempfile.gettempdir()}/psq_arch_{uuid.uuid4().hex[:8]}"
     mb = ar.write_mbtiles(tiles, base + ".mbtiles", normalized=True)
-    pm = ar.write_pmtiles(tiles, base + ".pmtiles")
+    # max_dir_entries=4096 forces the root to spill into leaf directories
+    # at this fixture's ~16k entries, so the leaf path stays exercised
+    pm = ar.write_pmtiles(tiles, base + ".pmtiles", max_dir_entries=4096)
+    nf = ar.write_files_archive(tiles, base + "_files")
     a = ar.read_mbtiles(base + ".mbtiles")
     b = ar.read_pmtiles(base + ".pmtiles")
-    match = sum(1 for k, v in a.items() if b.get(k) == v)
+    c = ar.read_files_archive(base + "_files")
+    match_ab = sum(1 for k, v in a.items() if b.get(k) == v)
+    match_ac = sum(1 for k, v in a.items() if c.get(k) == v)
     rows = [("mbtiles", mb["tiles"], mb["unique_blobs"]),
             ("pmtiles", pm["tiles"], pm["unique_blobs"]),
             ("pmtiles_dirs", pm["entries"], pm["n_leaves"]),
-            ("match", match, len(a) - match)]
+            ("files", nf, 0),
+            ("match_mb_pm", match_ab, len(a) - match_ab),
+            ("match_mb_files", match_ac, len(a) - match_ac)]
     tiles.unpersist()
     return spark.createDataFrame(rows, "archive string, n_tiles long, aux long")
 
