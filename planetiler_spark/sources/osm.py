@@ -161,15 +161,33 @@ def scan_blobs(path: str) -> list[tuple[int, int, int, str]]:
 
 
 def _inflate_blob(raw: bytes) -> bytes:
+    """Blob payload decode (fileformat.proto; OsmInputFile handles the same
+    optional codecs). zlib + raw + lzma decode via the stdlib; lz4/zstd are
+    real-world-rare and decode when their libraries are present (import-try
+    — this container ships neither)."""
     data = None
     for field, wire, val in _fields(memoryview(raw)):
         if field == 1:      # raw
             data = bytes(val)
         elif field == 3:    # zlib_data
             data = zlib.decompress(bytes(val))
-        elif field in (4, 6, 7):
-            raise NotImplementedError(
-                "lzma/lz4/zstd OSM blobs not supported (zlib + raw only)")
+        elif field == 4:    # lzma_data (xz/raw-lzma container)
+            import lzma
+            data = lzma.decompress(bytes(val))
+        elif field == 6:    # lz4_data (frame format)
+            try:
+                import lz4.frame
+            except ImportError as e:
+                raise NotImplementedError(
+                    "lz4-compressed OSM blob: lz4 library not installed") from e
+            data = lz4.frame.decompress(bytes(val))
+        elif field == 7:    # zstd_data
+            try:
+                import zstandard
+            except ImportError as e:
+                raise NotImplementedError(
+                    "zstd-compressed OSM blob: zstandard library not installed") from e
+            data = zstandard.ZstdDecompressor().decompress(bytes(val))
     if data is None:
         raise ValueError("Blob carries no data field")
     return data

@@ -114,3 +114,36 @@ def test_spark_read_and_way_geometry(spark, decoded):
     first = decoded["node"][21912089]
     assert abs(lons[0] - first["lon"]) < 1e-9
     assert abs(lats[0] - first["lat"]) < 1e-9
+
+
+def test_inflate_blob_codecs():
+    """Blob payload codecs (fileformat.proto): zlib, raw, and lzma decode;
+    lz4/zstd raise the honest capability guard when their libs are absent."""
+    import lzma
+    import zlib
+
+    payload = b"osm block bytes" * 10
+
+    def blob(field, body):
+        # protobuf: tag = (field << 3) | 2 (len-delimited), varint length
+        out = bytearray([(field << 3) | 2])
+        n = len(body)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | 0x80 if n else b)
+            if not n:
+                break
+        return bytes(out) + body
+
+    assert osm._inflate_blob(blob(1, payload)) == payload
+    assert osm._inflate_blob(blob(3, zlib.compress(payload))) == payload
+    assert osm._inflate_blob(blob(4, lzma.compress(payload))) == payload
+    try:
+        import lz4.frame  # noqa: F401
+        has_lz4 = True
+    except ImportError:
+        has_lz4 = False
+    if not has_lz4:
+        with pytest.raises(NotImplementedError, match="lz4"):
+            osm._inflate_blob(blob(6, payload))
