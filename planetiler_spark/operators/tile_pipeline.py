@@ -84,7 +84,7 @@ def _partial_thin(out: pd.DataFrame, thin_limit: int, cell: int) -> pd.DataFrame
 
 def render_features(images: DataFrame, min_zoom: int = 0,
                     max_zoom: int = MAX_ZOOM, thin_limit: int | None = None,
-                    grid_px: int = 32) -> DataFrame:
+                    grid_px: int = 32, counters=None) -> DataFrame:
     """images -> per-(feature, zoom, tile) rows in the sorted-KV model.
     thin_limit applies the map-side partial label-grid cap (see _partial_thin)."""
     zooms = range(min_zoom, max_zoom + 1)
@@ -104,6 +104,8 @@ def render_features(images: DataFrame, min_zoom: int = 0,
             out["sort_key"] = sort_key[idx]
             if thin_limit is not None:
                 out = _partial_thin(out, thin_limit, cell)
+            if counters is not None:  # one accumulator add per Arrow batch
+                counters.add("features", len(out))
             yield out
 
     cols = [c for c in images.columns if c != "bytes"]  # column pruning: no pixels in the vector path
@@ -258,7 +260,7 @@ def _cumcount(keys: np.ndarray) -> np.ndarray:
 
 def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
                         thin_limit: int | None = None,
-                        grid_px: int = 32) -> DataFrame:
+                        grid_px: int = 32, counters=None) -> DataFrame:
     """Sorted consecutive-tile grouping -> one MVT blob per tile.
 
     ARROW-NATIVE reduce (mapInArrow): record batches stream straight from the
@@ -305,6 +307,8 @@ def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
         xs, ys, zs = tm.tile_decode(tids[starts])
         stream = mvt.PointTileStream(ex, ey, sk, ids, caps)
         blobs = list(stream.encode_tiles(starts, ends))
+        if counters is not None:  # per reduce call, not per tile
+            counters.add("tiles", len(starts))
         return pa.RecordBatch.from_arrays([
             pa.array(tids[starts], type=pa.int64()),
             pa.array(zs.astype(np.int32), type=pa.int32()),
@@ -569,18 +573,19 @@ def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
 def tileset(spark: SparkSession, images: DataFrame, min_zoom: int = 0,
             max_zoom: int = MAX_ZOOM, shuffle_partitions: int | None = None,
             thin_limit: int | None = 64, ordered: bool = True,
-            pre_thin: bool = False) -> DataFrame:
+            pre_thin: bool = False, counters=None) -> DataFrame:
     """images -> vector tiles table, zoom-major tile order (phase 1+2+3).
 
     Density thinning (thin_limit) normally runs inside the tile reduce (zero
     extra shuffles). pre_thin=True additionally runs the salted two-stage
     window BEFORE the shuffle — worth it only when dense tiles dominate
     shuffle volume (extreme skew at production scale)."""
-    feats = render_features(images, min_zoom, max_zoom, thin_limit=thin_limit)
+    feats = render_features(images, min_zoom, max_zoom, thin_limit=thin_limit,
+                            counters=counters)
     if pre_thin and thin_limit is not None:
         feats = label_grid_thin(feats, limit=thin_limit)
     tiles = encode_vector_tiles(feats, partitions=shuffle_partitions,
-                                thin_limit=thin_limit)
+                                thin_limit=thin_limit, counters=counters)
     if ordered:
         # zoom-major spatially-clustered archive order (TileOrder TMS); tiny
         # output table, cheap range partition + in-partition sort

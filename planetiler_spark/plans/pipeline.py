@@ -32,6 +32,9 @@ def main(argv=None):
                     help=">0: checkpointed per-bucket run (resumable)")
     ap.add_argument("--raster", action="store_true", help="also emit z14 raster tiles")
     ap.add_argument("--verify", action="store_true", help="run patch PSNR/caption verify")
+    ap.add_argument("--progress", action="store_true",
+                    help="reference-style 10s status lines (counters + stages)")
+    ap.add_argument("--progress-interval", type=float, default=10.0)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,6 +54,7 @@ def main(argv=None):
     spark.sparkContext.setLogLevel("ERROR")
 
     from ..operators import checkpoint as cp
+    from ..operators import progress as pg
     from ..operators import tile_pipeline as tp
     from ..sources import images as src
 
@@ -59,6 +63,13 @@ def main(argv=None):
                            with_bytes=args.raster or args.verify)
     print(f"plan: n={args.n} z{args.minzoom}-{args.maxzoom} cpus={cpus} "
           f"shuffle={sp} buckets={args.buckets}", file=sys.stderr)
+
+    counters = pg.Counters(spark.sparkContext, ["features", "tiles"]) \
+        if args.progress else None
+    logger = pg.ProgressLogger(spark, counters, interval=args.progress_interval) \
+        if args.progress else None
+    if logger:
+        logger.__enter__()
 
     summary: dict = {"n_images": args.n, "cpus": cpus}
     if args.buckets > 0:
@@ -69,13 +80,16 @@ def main(argv=None):
         tiles = spark.read.parquet(os.path.join(args.out, "tiles"))
     else:
         tiles = tp.tileset(spark, images, args.minzoom, args.maxzoom,
-                           shuffle_partitions=sp)
+                           shuffle_partitions=sp, counters=counters)
         tiles.write.mode("overwrite").parquet(os.path.join(args.out, "tiles"))
         tiles = spark.read.parquet(os.path.join(args.out, "tiles"))
 
     agg = tiles.agg(F.count("*").alias("nt"), F.sum("n_features").alias("nf")).collect()[0]
     summary["n_tiles"] = int(agg.nt)
     summary["n_features"] = int(agg.nf or 0)
+    if logger:
+        logger.__exit__(None, None, None)
+        summary["counters"] = counters.snapshot()
 
     if args.raster:
         rast = tp.raster_tileset(spark, images)

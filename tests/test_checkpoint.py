@@ -64,3 +64,32 @@ def test_tiles_readable_and_complete(spark, images, tmp_path):
     tiles = spark.read.parquet(os.path.join(out, "tiles"))
     # every bucket wrote a z0 tile covering its images
     assert tiles.filter("zoom = 0").count() == NB
+
+
+def test_counters_and_progress_logger(spark):
+    """Counters (Spark accumulators, one add per Arrow batch) must equal the
+    actual output counts; ProgressLogger emits status lines."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    from planetiler_spark.operators import progress as pg
+    from planetiler_spark.operators import tile_pipeline as tp
+    from planetiler_spark.sources import images as src
+
+    counters = pg.Counters(spark.sparkContext, ["features", "tiles"])
+    out = io.StringIO()
+    with pg.ProgressLogger(spark, counters, interval=0.2, out=out) as pl:
+        images = src.images_df(spark, 500, partitions=4, with_bytes=False)
+        tiles = tp.tileset(spark, images, 0, 6, counters=counters, ordered=False)
+        # ONE action: accumulators meter work done, so a second action over
+        # the uncached DAG would re-run the kernels and double the counts
+        row = tiles.agg(F.count("*").alias("nt"),
+                        F.sum("n_features").alias("nf")).collect()[0]
+        n_tiles, n_feats = int(row.nt), int(row.nf)
+    snap = counters.snapshot()
+    assert snap["tiles"] == n_tiles
+    assert snap["features"] == n_feats  # thin cap not hit at this density
+    assert pl.lines >= 1
+    txt = out.getvalue()
+    assert "features:" in txt and "tiles:" in txt
