@@ -42,3 +42,18 @@ def encode_feature_key(tile: pd.Series, layer: pd.Series, sort_key: pd.Series,
     """64-bit sort key (FeatureGroup.encodeKey:176-180)."""
     return pd.Series(tm.encode_sort_key(tile.to_numpy(), layer.to_numpy(),
                                         sort_key.to_numpy(), has_group.to_numpy()))
+
+
+@F.pandas_udf("long")
+def s2_cell_of(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
+    """S2 cell id of each (lon, lat) at `level` (kernels/s2.py from-scratch
+    quad-tree; returned as int64 — reinterpret as uint64 for tokens). The
+    discretized spherical join key the north_star names (H3/S2): equi-join /
+    ring-expand on these exactly like knn_grid's planar cells."""
+    import numpy as np
+
+    from ..kernels import s2
+
+    lv = int(level.iloc[0]) if len(level) else 30
+    ids = s2.cell_id(lon.to_numpy(), lat.to_numpy(), lv)
+    return pd.Series(ids.astype(np.int64))
