@@ -1912,6 +1912,101 @@ def pip_polygon_index(spark, sf_dir):
         F.min("c_custkey").alias("first_key"))
 
 
+def embedding_ivf_ann(spark, sf_dir, k: int = 5, nlist: int = 16,
+                      nprobe: int = 4):
+    """IVF (inverted-file) ANN — the second scale path beside the LSH variant
+    (the brief names "an IVF or LSH-bucketed variant as the scale path").
+
+    Spark-first shape:
+      1. COARSE QUANTIZER: deterministic Lloyd's k-means (seeded farthest-
+         point init) over a driver-side sample of vectors — at 100TB you
+         train on a bounded sample exactly like this; centroids broadcast.
+      2. ASSIGN: every vector maps to its nearest centroid (one vectorized
+         (batch x nlist) dot per Arrow batch) -> the inverted list key.
+      3. PROBE: each query vector probes its `nprobe` nearest centroids ->
+         explode -> EQUI-JOIN on list id (bucket-bounded, never all-pairs).
+      4. REFINE: exact integer cosine over quantized arrays
+         (zip_with + aggregate, codegen) -> top-k per vector.
+
+    Not a gate row (the driver caps the gate at 50): candidate refinement /
+    exact-cosine ranking are already oracle-verified by embedding_lsh_ann;
+    recall vs the brute-force baseline is asserted in
+    tests/test_ivf_ann.py — measured at sf0.01 on the UNCLUSTERED synthetic
+    vectors: 59.9% @5 at nprobe=4/16 lists, >=75% at nprobe=8 (isotropic
+    data caps IVF at ~nprobe/nlist of neighbors; real clustered corpora do
+    far better — nprobe trades recall against candidates scanned)."""
+    import numpy as np
+    import pandas as pd
+
+    e = tbl(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r.embedding for r in
+         e.select("embedding").orderBy("vec_id").limit(4096).collect()],
+        dtype=np.float64)
+    # unit-normalize so the coarse metric matches the cosine refine
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    # deterministic k-means: farthest-point init from vector 0, 10 Lloyd iters
+    cents = [sample[0]]
+    for _ in range(nlist - 1):
+        d = 1.0 - np.max(np.stack([sample @ c for c in cents]), axis=0)
+        cents.append(sample[int(np.argmax(d))])
+    C = np.stack(cents)
+    for _ in range(10):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for g in range(nlist):
+            m = assign == g
+            if m.any():
+                v = sample[m].mean(axis=0)
+                C[g] = v / np.linalg.norm(v)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_lists(batches):
+        cc = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = V @ cc.T
+            top = np.argsort(-sims, axis=1, kind="stable")
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                "probe_rank": np.tile(np.arange(nprobe, dtype=np.int32), len(pdf)),
+                "list_id": top[:, :nprobe].astype(np.int32).ravel(),
+            })
+
+    probes = e.select("vec_id", "embedding").mapInPandas(
+        assign_lists, "vec_id long, probe_rank int, list_id int")
+    lists = probes.filter(F.col("probe_rank") == 0).select("vec_id", "list_id")
+    cands = (probes.alias("q").join(
+        lists.alias("ix"),
+        (F.col("q.list_id") == F.col("ix.list_id")) &
+        (F.col("q.vec_id") != F.col("ix.vec_id")))
+        .select(F.col("q.vec_id").alias("vec_id"),
+                F.col("ix.vec_id").alias("neighbor_id"))
+        .distinct())
+    qarr = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .alias("qv"))
+    norms = qarr.select(
+        "vec_id", F.expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)").alias("nrm"))
+    va = qarr.select("vec_id", F.col("qv").alias("qa"))
+    vb = qarr.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+    na = norms.select("vec_id", F.col("nrm").alias("na_n"))
+    nb = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nb_n"))
+    pairs = (cands.join(va, "vec_id").join(vb, "neighbor_id")
+             .withColumn("dot", F.expr(
+                 "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+             .join(na, "vec_id").join(nb, "neighbor_id"))
+    cos = (F.col("dot").cast("double") /
+           F.sqrt(F.col("na_n").cast("double") * F.col("nb_n").cast("double")))
+    scored = pairs.withColumn("rank", F.row_number().over(
+        W.partitionBy("vec_id").orderBy(cos.desc(), "neighbor_id")))
+    return (scored.filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
+
+
 def knn_zone_centroids(spark, sf_dir):
     """k=5 nearest zone centroids per image via the broadcast distance-matrix
     kNN (PointIndex.getNearest:70 semantics, deterministic tie-breaks).
