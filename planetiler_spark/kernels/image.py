@@ -6,12 +6,10 @@ slicing (operators/raster.py) decodes these inside Arrow-batched UDFs.
 
 - PNG: minimal but real RGB8 encoder/decoder implemented on zlib + numpy
   (IHDR/IDAT/IEND, filter type 0). Lossless round-trip, deterministic bytes.
-- "JPEG": **STUB** — no JPEG library exists in this container, so `fmt='jpeg'`
-  payloads use a deterministic lossy codec (uniform quantization step 6 per
-  channel + zlib), which models JPEG's lossy-but-PSNR>=40dB contract exactly:
-  uniform quantization q=6 gives MSE ~= q^2/12 = 3 -> PSNR ~= 43 dB. Swap
-  `encode_fake_jpeg`/`decode_fake_jpeg` for a real codec in production; the
-  Spark-side plumbing (schema, batching, UDF signatures) is identical.
+- JPEG: REAL baseline JFIF codec, implemented from the public T.81 spec in
+  kernels/jpeg.py (rounds 1-2 used a documented quantize+zlib stand-in; the
+  `FJPG` magic is still decoded for those legacy payloads). Default quality
+  98 measures >=43dB on the worst-case synthetic sawtooth fixtures.
 - PSNR: the per-row invariant from BASELINE.json (decoded-pixel allclose,
   PSNR>=40dB for lossy, exact for lossless).
 """
@@ -72,7 +70,8 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 def encode_fake_jpeg(pixels: np.ndarray) -> bytes:
-    """STUB lossy codec standing in for JPEG (see module docstring)."""
+    """Legacy round-1/2 lossy stand-in (quantize+zlib), superseded by the real
+    baseline JPEG in kernels/jpeg.py; kept so old FJPG payloads still decode."""
     h, w, c = pixels.shape
     q = (pixels.astype(np.int32) + FAKE_JPEG_QUANT // 2) // FAKE_JPEG_QUANT
     q = np.clip(q * FAKE_JPEG_QUANT, 0, 255).astype(np.uint8)
@@ -90,16 +89,20 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return encode_fake_jpeg(pixels)
-    raise NotImplementedError(f"image format {fmt!r} not supported in this container (png/jpeg-stub only)")
+        from . import jpeg as _jpeg
+        return _jpeg.encode_jpeg(pixels)
+    raise NotImplementedError(f"image format {fmt!r} not supported (png/jpeg only)")
 
 
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(buf)
     if fmt == "jpeg":
-        return decode_fake_jpeg(buf)
-    raise NotImplementedError(f"image format {fmt!r} not supported in this container (png/jpeg-stub only)")
+        if bytes(buf[:4]) == _FJPG_MAGIC:  # legacy round-1/2 stand-in payloads
+            return decode_fake_jpeg(buf)
+        from . import jpeg as _jpeg
+        return _jpeg.decode_jpeg(buf)
+    raise NotImplementedError(f"image format {fmt!r} not supported (png/jpeg only)")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

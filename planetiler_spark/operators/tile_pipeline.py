@@ -405,6 +405,27 @@ def verify_patches(patches: DataFrame) -> DataFrame:
     the analog of the reference's `verify` CLI (mbtiles/Verify.java:111)."""
 
     def check(batches):
+        # decode(encode(full)) truth per image, cached: with the REAL JPEG
+        # codec (kernels/jpeg.py) cropping no longer commutes with the lossy
+        # round trip (block artifacts differ on unaligned crops), so the
+        # exact-truth is the decoded full image sliced the same way the
+        # pipeline sliced it. The >=40dB input_hint contract is per IMAGE
+        # row, so psnr is the image-level value (a 1xN sliver crop can sit
+        # on ringing pixels and dip below 40 locally while the image clears
+        # 43+; judging the contract on slivers would be the wrong unit).
+        lossy_cache: dict[int, tuple[np.ndarray, float]] = {}
+
+        def lossy_full(i: int, w: int, h: int) -> tuple[np.ndarray, float]:
+            hit = lossy_cache.get(i)
+            if hit is None:
+                full = src._pixels(i, w, h)
+                dec = ik.decode_image(ik.encode_image(full, "jpeg"), "jpeg")
+                if len(lossy_cache) > 256:
+                    lossy_cache.clear()
+                hit = (dec, ik.psnr(full, dec))
+                lossy_cache[i] = hit
+            return hit
+
         for pdf in batches:
             out = {k: [] for k in ("image_id", "tile_id", "psnr", "pixels_ok", "caption_ok")}
             for r in pdf.itertuples(index=False):
@@ -421,16 +442,22 @@ def verify_patches(patches: DataFrame) -> DataFrame:
                 worldpx = 256 * n  # x wraps at the antimeridian (mod world pixels)
                 cx0 = (int(r.px0) + int(x0) * 256 - (gx0 - w // 2)) % worldpx
                 cy0 = int(r.py0) + int(y0) * 256 - (gy0 - h // 2)
-                want = full[cy0:cy0 + int(r.ph), cx0:cx0 + int(r.pw)]
+                sl = np.s_[cy0:cy0 + int(r.ph), cx0:cx0 + int(r.pw)]
+                pristine = full[sl]
                 if r.fmt == "jpeg":
-                    want = ik.decode_fake_jpeg(ik.encode_fake_jpeg(want))
-                p = ik.psnr(got, want) if want.shape == got.shape else 0.0
+                    dec, p = lossy_full(i, w, h)
+                    want = dec[sl]
+                else:
+                    want, p = pristine, float("inf")
+                exact = want.shape == got.shape and bool(np.array_equal(got, want))
+                if not exact:
+                    p = 0.0
                 tx, ty = tm.tile_of_world(wx, wy, MAX_ZOOM)
                 cap_ok = r.caption == f"caption for img{i} at tile 14/{int(tx[0])}/{int(ty[0])}"
                 out["image_id"].append(r.image_id)
                 out["tile_id"].append(int(r.tile_id))
                 out["psnr"].append(min(p, 1e9))
-                out["pixels_ok"].append(p >= 40.0)
+                out["pixels_ok"].append(exact)
                 out["caption_ok"].append(bool(cap_ok))
             yield pd.DataFrame(out)
 
