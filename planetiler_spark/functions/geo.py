@@ -45,6 +45,22 @@ def encode_feature_key(tile: pd.Series, layer: pd.Series, sort_key: pd.Series,
 
 
 @F.pandas_udf("long")
+def hex_cell_of(wx: pd.Series, wy: pd.Series, res: pd.Series) -> pd.Series:
+    """Packed hex cell key of each world point at resolution `res`
+    (kernels/hex.py aperture-7 rotated hierarchy — the planar H3 analog).
+    One fused numpy pass per Arrow batch; the key unpacks JVM-side with
+    shiftright/bitwise-and, so ring-expansion joins stay in Catalyst."""
+    import numpy as np
+
+    from ..kernels import hex as hx
+
+    rs = int(res.iloc[0]) if len(res) else 3
+    keys = hx.hex_cell(wx.to_numpy(dtype=np.float64),
+                       wy.to_numpy(dtype=np.float64), rs)
+    return pd.Series(keys)
+
+
+@F.pandas_udf("long")
 def s2_cell_of(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
     """S2 cell id of each (lon, lat) at `level` (kernels/s2.py from-scratch
     quad-tree; returned as int64 — reinterpret as uint64 for tokens). The

@@ -2007,6 +2007,80 @@ def embedding_ivf_ann(spark, sf_dir, k: int = 5, nlist: int = 16,
             .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
 
 
+def knn_hex(spark, sf_dir, k: int = 5, res: int = 2):
+    """kNN via HEX-cell ring-expansion equi-joins — the literal "H3
+    ring-expansion join" the north_star names, on kernels/hex.py's planar
+    aperture-7 H3 analog (knn_grid is the square-cell twin; both re-express
+    PointIndex.java:48-106 as equi-joins).
+
+    Spark-first shape:
+      - both sides get a packed hex cell key (one Arrow-batched numpy pass,
+        functions/geo.hex_cell_of);
+      - the SMALL side is replicated into every cell of disk(r) around its
+        own cell — 3r(r+1)+1 copies, 25% fewer than the square grid's
+        (2r+1)^2 at equal radius — with neighbor keys computed JVM-SIDE as
+        `key + (dq<<28) + dr` (the biased q/r fields are additive for small
+        offsets), so Catalyst plans a plain broadcast HASH join on the
+        probe's exact key;
+      - finality bound: a probe's k-th hit at distance d is final when
+        d <= ((3/2)(r+1) - 2) * R (ring-(r+1) cell centers form a hexagon
+        with inradius (3/2)(r+1)R; points deviate <= R from their centers);
+        unfinished probes escalate disk radius, the remainder brute-forces.
+
+    Not a gate row (the driver caps the gate at 50 queries; the square-grid
+    twin IS oracle-gated): asserted IDENTICAL to knn_bruteforce in
+    tests/test_hex.py."""
+    from ..functions import geo as G
+    from ..kernels import hex as hx
+
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_IXC).alias("cix"), F.expr(_IYC).alias("ciy"))
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr(_IXS).alias("six"), F.expr(_IYS).alias("siy"))
+    m31 = float(X.M31)
+    c = c.withColumn("hk", G.hex_cell_of(
+        F.col("cix") / m31, F.col("ciy") / m31, F.lit(res)))
+    s = s.withColumn("hk", G.hex_cell_of(
+        F.col("six") / m31, F.col("siy") / m31, F.lit(res)))
+    d2 = ((F.col("cix") - F.col("six")) * (F.col("cix") - F.col("six")) +
+          (F.col("ciy") - F.col("siy")) * (F.col("ciy") - F.col("siy")))
+
+    def disk_candidates(points, r):
+        offs = hx.disk_offsets(r)
+        off64 = [int((dq << 28) + dr) for dq, dr in offs]
+        s_disk = (s.withColumn("off", F.explode(F.array(*[F.lit(v) for v in off64])))
+                  .select("s_suppkey", "six", "siy",
+                          (F.col("hk") + F.col("off")).alias("jk")))
+        return (points.join(F.broadcast(s_disk), F.col("hk") == F.col("jk"))
+                .withColumn("d2", d2)
+                .withColumn("rank", F.row_number().over(
+                    W.partitionBy("c_custkey").orderBy("d2", "s_suppkey")))
+                .filter(F.col("rank") <= k))
+
+    remaining = c
+    done_parts = []
+    for r in (2, 8):
+        topk = disk_candidates(remaining, r)
+        bound = int(hx.min_dist_outside_disk(r, res) * X.M31) ** 2
+        stats = topk.groupBy("c_custkey").agg(
+            F.count("*").alias("nk"), F.max("d2").alias("dk"))
+        safe = stats.filter((F.col("nk") >= k) & (F.col("dk") <= F.lit(bound))).select("c_custkey")
+        done_parts.append(topk.join(safe, "c_custkey", "left_semi")
+                          .select("c_custkey", "s_suppkey", "rank"))
+        remaining = remaining.join(safe, "c_custkey", "left_anti")
+    done_parts.append(
+        remaining.crossJoin(F.broadcast(s.drop("hk")))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(
+            W.partitionBy("c_custkey").orderBy("d2", "s_suppkey")))
+        .filter(F.col("rank") <= k)
+        .select("c_custkey", "s_suppkey", "rank"))
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select("c_custkey", "s_suppkey", F.col("rank").cast("long").alias("rank"))
+
+
 def knn_zone_centroids(spark, sf_dir):
     """k=5 nearest zone centroids per image via the broadcast distance-matrix
     kNN (PointIndex.getNearest:70 semantics, deterministic tie-breaks).
