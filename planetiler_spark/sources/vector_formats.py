@@ -75,18 +75,31 @@ def _dbf_record(buf: memoryview, header_size: int, record_size: int,
 
 # --- .shp geometry records ----------------------------------------------------
 
-def _shp_geom(mv: memoryview):
-    """One record's content -> (wkb, minx, miny, maxx, maxy) or None."""
+def _shp_geom(mv: memoryview, tfm=None):
+    """One record's content -> (wkb, minx, miny, maxx, maxy) or None.
+
+    `tfm` is an optional vectorized (x_arr, y_arr) -> (lon_arr, lat_arr)
+    reprojection (kernels/proj.CRS.to_wgs84) applied to every coordinate
+    before WKB packing — the ShapefileReader.java:65-78 transform-to-EPSG:4326
+    step, done here batch-vectorized per record."""
     (stype,) = struct.unpack_from("<i", mv, 0)
     if stype == 0:
         return None
     if stype == _SHP_POINT:
         x, y = struct.unpack_from("<dd", mv, 4)
+        if tfm is not None:
+            xa, ya = tfm(np.array([x]), np.array([y]))
+            x, y = float(xa[0]), float(ya[0])
         return gk.wkb_point(x, y), x, y, x, y
     if stype == _SHP_MULTIPOINT:
         minx, miny, maxx, maxy = struct.unpack_from("<dddd", mv, 4)
         (n,) = struct.unpack_from("<i", mv, 36)
         pts = np.frombuffer(mv, dtype="<f8", count=2 * n, offset=40).reshape(n, 2)
+        if tfm is not None:
+            tx, ty = tfm(pts[:, 0], pts[:, 1])
+            pts = np.stack([tx, ty], axis=1)
+            minx, miny = float(tx.min()), float(ty.min())
+            maxx, maxy = float(tx.max()), float(ty.max())
         # engine shape has no multipoint WKB: emit the first point's WKB +
         # the true bbox (parity with SimpleFeature's single-geometry model
         # would emit one row per point; multipoint sources are rare)
@@ -97,6 +110,11 @@ def _shp_geom(mv: memoryview):
         parts = np.frombuffer(mv, dtype="<i4", count=nparts, offset=44)
         pts = np.frombuffer(mv, dtype="<f8", count=2 * npoints,
                             offset=44 + 4 * nparts).reshape(npoints, 2)
+        if tfm is not None:
+            tx, ty = tfm(pts[:, 0], pts[:, 1])
+            pts = np.stack([tx, ty], axis=1)
+            minx, miny = float(tx.min()), float(ty.min())
+            maxx, maxy = float(tx.max()), float(ty.max())
         bounds = np.append(parts, npoints)
         rings = [pts[bounds[i]:bounds[i + 1]].astype(np.float64)
                  for i in range(nparts) if bounds[i + 1] - bounds[i] >= 2]
@@ -118,9 +136,16 @@ def _shx_offsets(path_shx: str) -> np.ndarray:
 
 
 def read_shapefile(spark: SparkSession, shp_path: str, source: str = "shapefile",
-                   layer: str | None = None, partitions: int = 8) -> DataFrame:
-    """stations.shp + .shx + .dbf (+ .cpg) -> engine feature rows,
-    executor-parallel over .shx record ranges."""
+                   layer: str | None = None, partitions: int = 8,
+                   source_projection: str | None = None) -> DataFrame:
+    """stations.shp + .shx + .dbf (+ .cpg, + .prj) -> engine feature rows,
+    executor-parallel over .shx record ranges.
+
+    CRS handling mirrors ShapefileReader.java:65-78: `source_projection`
+    (an `EPSG:n` code or WKT, GeoUtils.decodeCRS:768-791) overrides the
+    `.prj` sidecar; geometry is reprojected to EPSG:4326 lon/lat. A missing
+    or geographic no-datum-shift CRS passes coordinates through (the
+    reference's lenient=true transform)."""
     base = shp_path[:-4]
     layer = layer if layer is not None else os.path.basename(base)
     offsets = _shx_offsets(base + ".shx")
@@ -129,6 +154,10 @@ def read_shapefile(spark: SparkSession, shp_path: str, source: str = "shapefile"
     if os.path.exists(base + ".cpg"):
         with open(base + ".cpg") as f:
             encoding = f.read().strip() or "latin-1"
+    crs_spec = source_projection
+    if crs_spec is None and os.path.exists(base + ".prj"):
+        with open(base + ".prj") as f:
+            crs_spec = f.read().strip() or None
     splits = np.array_split(np.arange(n), min(partitions, max(n, 1)))
     ranges = [(int(s[0]), int(s[-1]) + 1) for s in splits if len(s)]
     rdf = spark.createDataFrame(ranges, "start long, stop long")
@@ -139,6 +168,12 @@ def read_shapefile(spark: SparkSession, shp_path: str, source: str = "shapefile"
         with open(base + ".dbf", "rb") as f:
             dbf = memoryview(f.read())
         fields, hs, rs, _ = _dbf_fields(dbf)
+        tfm = None
+        if crs_spec is not None:
+            from ..kernels import proj as pj
+            crs = pj.decode_crs(crs_spec)
+            if not (crs.is_geographic and crs.helmert.identity):
+                tfm = crs.to_wgs84
         for pdf in batches:
             rows = {k: [] for k in ("id", "source", "layer", "tags", "geom_wkb",
                                     "minx", "miny", "maxx", "maxy")}
@@ -146,7 +181,7 @@ def read_shapefile(spark: SparkSession, shp_path: str, source: str = "shapefile"
                 for i in range(int(r.start), int(r.stop)):
                     off = int(offsets[i])
                     (_recno, clen) = struct.unpack_from(">ii", shp, off)
-                    geom = _shp_geom(shp[off + 8:off + 8 + 2 * clen])
+                    geom = _shp_geom(shp[off + 8:off + 8 + 2 * clen], tfm)
                     if geom is None:
                         continue
                     wkb, x0, y0, x1, y1 = geom
