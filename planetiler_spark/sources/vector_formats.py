@@ -15,9 +15,11 @@ Reference parity:
     column; same rowid-range scan, no GP header.
 
 All normalize to the engine feature shape (id, source, layer,
-tags map<string,string>, geom_wkb, minx..maxy) — geometry stays in the
-source CRS; CRS transforms are out of scope per SURVEY §2.8 (inputs here
-are lon/lat).
+tags map<string,string>, geom_wkb, minx..maxy) in EPSG:4326 lon/lat —
+projected sources are reprojected through kernels/proj.py (from-scratch
+Snyder/Krueger projections + Helmert datum shifts), mirroring the
+reference's GeoTools findMathTransform-to-4326 step
+(ShapefileReader.java:65-78, GeoPackageReader.java:165-201).
 """
 
 from __future__ import annotations
@@ -240,11 +242,82 @@ def _sqlite_feature_tables(path: str) -> list[tuple[str, str]]:
         con.close()
 
 
+def _gpkg_srs_by_table(path: str) -> dict:
+    """{table: WKT definition} for feature tables whose srs is not already
+    lon/lat WGS84 — the GeoPackageReader.java:165-201 reprojection inputs
+    (gpkg_geometry_columns.srs_id -> gpkg_spatial_ref_sys.definition)."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        names = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        if "gpkg_geometry_columns" not in names or "gpkg_spatial_ref_sys" not in names:
+            return {}
+        out = {}
+        for t, srs in con.execute(
+                "SELECT table_name, srs_id FROM gpkg_geometry_columns"):
+            if srs in (4326, 0, -1):
+                continue
+            row = con.execute(
+                "SELECT organization, organization_coordsys_id, definition "
+                "FROM gpkg_spatial_ref_sys WHERE srs_id=?", (srs,)).fetchone()
+            if row is None:
+                continue
+            org, org_id, definition = row
+            if (org or "").upper() == "EPSG" and org_id == 4326:
+                continue
+            out[t] = (f"EPSG:{org_id}" if (org or "").upper() == "EPSG" and org_id
+                      else definition)
+        return out
+    finally:
+        con.close()
+
+
+def _transform_geom(typ, data, tfm):
+    """Parsed WKB geometry -> reprojected (wkb, (minx, miny, maxx, maxy))."""
+    if typ == "point":
+        xa, ya = tfm(np.array([data[0]]), np.array([data[1]]))
+        x, y = float(xa[0]), float(ya[0])
+        return gk.wkb_point(x, y), (x, y, x, y)
+    if typ == "linestring":
+        tx, ty = tfm(data[:, 0], data[:, 1])
+        pts = np.stack([tx, ty], axis=1)
+        return gk.wkb_linestring(pts), (float(tx.min()), float(ty.min()),
+                                        float(tx.max()), float(ty.max()))
+    if typ == "polygon":
+        rings = []
+        for ring in data:
+            tx, ty = tfm(ring[:, 0], ring[:, 1])
+            rings.append(np.stack([tx, ty], axis=1))
+        allx = np.concatenate([r[:, 0] for r in rings])
+        ally = np.concatenate([r[:, 1] for r in rings])
+        return gk.wkb_polygon(rings), (float(allx.min()), float(ally.min()),
+                                       float(allx.max()), float(ally.max()))
+    if typ == "multipolygon":
+        polys = []
+        for poly in data:
+            rings = []
+            for ring in poly:
+                tx, ty = tfm(ring[:, 0], ring[:, 1])
+                rings.append(np.stack([tx, ty], axis=1))
+            polys.append(rings)
+        allx = np.concatenate([r[:, 0] for p in polys for r in p])
+        ally = np.concatenate([r[:, 1] for p in polys for r in p])
+        return gk.wkb_multipolygon(polys), (float(allx.min()), float(ally.min()),
+                                            float(allx.max()), float(ally.max()))
+    raise ValueError(f"unsupported geometry type {typ}")
+
+
 def read_geopackage(spark: SparkSession, path: str, source: str = "geopackage",
-                    partitions: int = 8) -> DataFrame:
+                    partitions: int = 8,
+                    source_projection: str | None = None) -> DataFrame:
     """All feature tables of a GeoPackage (or NaturalEarth-style sqlite) ->
-    engine feature rows; executors scan disjoint rowid ranges read-only."""
+    engine feature rows; executors scan disjoint rowid ranges read-only.
+
+    Per-table CRS from gpkg_spatial_ref_sys (or the `source_projection`
+    override) is reprojected to EPSG:4326 (GeoPackageReader.java:165-201)."""
     tables = _sqlite_feature_tables(path)
+    srs_by_table = ({t: source_projection for t, _ in tables}
+                    if source_projection is not None else _gpkg_srs_by_table(path))
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     ranges = []
     for t, gcol in tables:
@@ -265,6 +338,12 @@ def read_geopackage(spark: SparkSession, path: str, source: str = "geopackage",
     def gen(batches):
         local = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
         local.text_factory = lambda b: b.decode("utf-8", "replace")
+        tfms = {}
+        for t, spec in srs_by_table.items():
+            from ..kernels import proj as pj
+            crs = pj.decode_crs(spec)
+            if not (crs.is_geographic and crs.helmert.identity):
+                tfms[t] = crs.to_wgs84
         try:
             for pdf in batches:
                 rows = {k: [] for k in ("id", "source", "layer", "tags", "geom_wkb",
@@ -276,6 +355,7 @@ def read_geopackage(spark: SparkSession, path: str, source: str = "geopackage",
                     sel = ", ".join(f'"{c}"' for c in attr_cols)
                     q = (f'SELECT rowid, "{r.gcol}", {sel} FROM "{r.tbl}" '
                          f"WHERE rowid BETWEEN ? AND ?")
+                    tfm = tfms.get(r.tbl)
                     for rec in local.execute(q, (int(r.lo), int(r.hi))):
                         rid, blob = rec[0], rec[1]
                         if blob is None:
@@ -283,7 +363,10 @@ def read_geopackage(spark: SparkSession, path: str, source: str = "geopackage",
                         wkb = _gpkg_unwrap(bytes(blob))
                         try:
                             typ, data = gk.parse_wkb(wkb)
-                            x0, y0, x1, y1 = _wkb_bounds(typ, data)
+                            if tfm is not None:
+                                wkb, (x0, y0, x1, y1) = _transform_geom(typ, data, tfm)
+                            else:
+                                x0, y0, x1, y1 = _wkb_bounds(typ, data)
                         except ValueError:
                             continue  # unsupported or EMPTY geometry
                         except IndexError:

@@ -367,6 +367,45 @@ def test_shapefile_utm_reprojected_to_wgs84(spark, tmp_path):
     assert abs(sorted(r.minx for r in rows2)[0] - (lons[0] - 6.0)) < 0.1
 
 
+def _write_utm_gpkg(path, pts_lonlat):
+    """Minimal GeoPackage: one point table in EPSG:32633."""
+    import sqlite3
+    from planetiler_spark.kernels import geom as gk
+    crs = P.crs_from_epsg(32633)
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+    con.execute("CREATE TABLE gpkg_geometry_columns "
+                "(table_name TEXT, column_name TEXT, srs_id INTEGER)")
+    con.execute("CREATE TABLE gpkg_spatial_ref_sys (srs_id INTEGER, "
+                "organization TEXT, organization_coordsys_id INTEGER, definition TEXT)")
+    con.execute("CREATE TABLE pts (fid INTEGER PRIMARY KEY, name TEXT, geom BLOB)")
+    con.execute("INSERT INTO gpkg_contents VALUES ('pts', 'features')")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('pts', 'geom', 32633)")
+    con.execute("INSERT INTO gpkg_spatial_ref_sys VALUES (32633, 'EPSG', 32633, '')")
+    for i, (lon, lat) in enumerate(pts_lonlat):
+        x, y = crs.from_wgs84(np.array([lon]), np.array([lat]))
+        gp = b"GP\x00\x01" + struct.pack("<i", 32633) + gk.wkb_point(float(x[0]), float(y[0]))
+        con.execute("INSERT INTO pts VALUES (?, ?, ?)", (i + 1, f"n{i}", gp))
+    con.commit()
+    con.close()
+
+
+def test_geopackage_utm_reprojected_to_wgs84(spark, tmp_path):
+    import planetiler_spark.sources.vector_formats as vf
+    path = str(tmp_path / "utm.gpkg")
+    lons, lats = [12.4924, 16.3738], [41.8902, 48.2082]
+    _write_utm_gpkg(path, list(zip(lons, lats)))
+    rows = sorted(vf.read_geopackage(spark, path).collect(), key=lambda r: r.id)
+    assert len(rows) == 2
+    assert np.allclose([r.minx for r in rows], lons, atol=1e-8)
+    assert np.allclose([r.miny for r in rows], lats, atol=1e-8)
+    assert rows[0].tags["name"] == "n0"
+    # geometry WKB is rewritten in lon/lat too, not just the bbox
+    from planetiler_spark.kernels import geom as gk
+    typ, (px, py) = gk.parse_wkb(bytes(rows[1].geom_wkb))
+    assert typ == "point" and abs(px - lons[1]) < 1e-8 and abs(py - lats[1]) < 1e-8
+
+
 def test_shapefile_geographic_prj_passthrough(spark, tmp_path):
     import planetiler_spark.sources.vector_formats as vf
     base = str(tmp_path / "geopts")
