@@ -1,0 +1,277 @@
+"""Multilingual name handling — LanguageUtils.java:11-123 re-derived without
+ICU or java.util.Locale.
+
+Three exact ports (same outputs as the reference's own LanguageUtilsTest /
+ThreadLocalTransliteratorTest vectors where no ICU data is required):
+
+  - remove_latin_characters / contains_only_latin_characters — the
+    `\\p{IsLatin}` letter logic (LanguageUtils.java:25-31, :70-86) via
+    unicodedata script classification;
+  - is_valid_language_tag / is_valid_osm_name_tag — BCP 47 (RFC 5646)
+    well-formedness exactly as java.util.Locale.Builder enforces it,
+    including the grandfathered-tag conversion table from the
+    Locale.forLanguageTag javadoc (LanguageUtils.java:91-123);
+  - transliterate — PARTIAL Any-Latin analog (Translations.java /
+    ThreadLocalTransliterator.java:18): NFKD Latin diacritic folding plus
+    from-scratch Cyrillic (BGN/PCGN-style) and Greek (ELOT-style)
+    romanization tables. Han/Kana readings require the Unihan database
+    (ICU data, absent from this container) so CJK passes through unchanged
+    — the honest capability boundary, documented in COVERAGE.md.
+
+Spark surface: `latin_name_udf` applies the OMT name:latin fallback chain
+(name:en > name:de > transliterate(name)) batch-wise over a tags map column.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+__all__ = ["remove_latin_characters", "contains_only_latin_characters",
+           "is_valid_language_tag", "is_valid_osm_name_tag", "transliterate",
+           "latin_name_udf"]
+
+
+# --- Latin-script classification (LanguageUtils.java:25-31) -------------------
+
+def _is_latin_letter(ch: str) -> bool:
+    """Unicode Script=Latin AND category Letter — the reference's
+    `[\\p{IsLetter}&&\\p{IsLatin}]`. unicodedata carries no script table, but
+    every Latin-script letter's name starts with 'LATIN' (modifier letters
+    02B0-02B8/1D2C-1D6A are script-Latin too; names start 'MODIFIER LETTER'
+    — they spell Latin superscripts, include via block check)."""
+    if not unicodedata.category(ch).startswith("L"):
+        return False
+    cp = ord(ch)
+    if cp < 0x80:
+        return (0x41 <= cp <= 0x5A) or (0x61 <= cp <= 0x7A)
+    if 0x02B0 <= cp <= 0x02B8 or 0x1D2C <= cp <= 0x1D6A:
+        return True   # Latin-script modifier letters
+    return unicodedata.name(ch, "").startswith("LATIN")
+
+
+# Java's `[ -.]` is the codepoint RANGE 0x20-0x2E (space through '.')
+_EMPTY_PARENS = re.compile(r"(\([\x20-\x2e]*\)|\[[\x20-\x2e]*\])")
+_LEADING_TRAILING_JUNK = re.compile(r"((^[\s./\-]*)|([\s./\-]*$))")
+_WHITESPACE = re.compile(r"\s+")
+
+
+def contains_only_latin_characters(s: str | None) -> bool:
+    """LanguageUtils.containsOnlyLatinCharacters:58 — every letter (if any)
+    is Latin-script."""
+    if s is None:
+        return False
+    return all(_is_latin_letter(c) or not unicodedata.category(c).startswith("L")
+               for c in s)
+
+
+def remove_latin_characters(name: str | None) -> str | None:
+    """LanguageUtils.removeLatinCharacters:70-86 — strip Latin letters, then
+    the '(desc)' / ' - desc' scaffolding they leave behind."""
+    if name is None:
+        return None
+    if not any(_is_latin_letter(c) for c in name):
+        # Java String.trim(): strip codepoints <= U+0020 only
+        return name.strip("".join(chr(c) for c in range(0x21)))
+    result = "".join(c for c in name if not _is_latin_letter(c))
+    result = _EMPTY_PARENS.sub("", result)
+    result = _LEADING_TRAILING_JUNK.sub("", result)
+    result = _WHITESPACE.sub(" ", result).strip()
+    return result if result.strip() else None
+
+
+# --- BCP 47 well-formedness (LanguageUtils.isValidLanguageTag:91-123) ---------
+
+# java.util.Locale.forLanguageTag javadoc: grandfathered tags without a
+# modern replacement are mapped to these canonical forms
+_GRANDFATHERED = {
+    "cel-gaulish": "xtg-x-cel-gaulish",
+    "en-gb-oed": "en-GB-x-oed",
+    "i-default": "en-x-i-default",
+    "i-enochian": "und-x-i-enochian",
+    "i-mingo": "see-x-i-mingo",
+    "zh-min": "nan-x-zh-min",
+    # regular/irregular grandfathered with preferred values (RFC 5646 §2.2.8)
+    "art-lojban": "jbo", "i-ami": "ami", "i-bnn": "bnn", "i-hak": "hak",
+    "i-klingon": "tlh", "i-lux": "lb", "i-navajo": "nv", "i-pwn": "pwn",
+    "i-tao": "tao", "i-tay": "tay", "i-tsu": "tsu", "no-bok": "nb",
+    "no-nyn": "nn", "sgn-be-fr": "sfb", "sgn-be-nl": "vgt",
+    "sgn-ch-de": "sgg", "zh-guoyu": "cmn", "zh-hakka": "hak",
+    "zh-xiang": "hsn",
+}
+
+_ALPHA = re.compile(r"^[a-zA-Z]+$")
+_ALNUM = re.compile(r"^[a-zA-Z0-9]+$")
+
+
+def _parse_langtag(tag: str) -> str | None:
+    """RFC 5646 langtag ABNF -> primary language subtag, or None if
+    ill-formed (mirrors Locale.Builder.setLanguageTag's checks)."""
+    low = tag.lower()
+    if low in _GRANDFATHERED:
+        low = _GRANDFATHERED[low].lower()
+    parts = low.split("-")
+    if any(not p for p in parts):
+        return None
+    i = 0
+    lang = ""
+    p = parts[0]
+    if _ALPHA.match(p) and 2 <= len(p) <= 8:
+        lang = p
+        i = 1
+        if len(p) <= 3:
+            # up to 3 extlang subtags of 3 alpha
+            ext = 0
+            while i < len(parts) and ext < 3 and len(parts[i]) == 3 and _ALPHA.match(parts[i]):
+                i += 1
+                ext += 1
+    elif p == "x":
+        lang = ""
+        i = 0   # privateuse-only tag; handled below
+    else:
+        return None
+    if parts[0] != "x":
+        # script
+        if i < len(parts) and len(parts[i]) == 4 and _ALPHA.match(parts[i]):
+            i += 1
+        # region
+        if i < len(parts) and ((len(parts[i]) == 2 and _ALPHA.match(parts[i]))
+                               or (len(parts[i]) == 3 and parts[i].isdigit())):
+            i += 1
+        # variants
+        while i < len(parts):
+            p = parts[i]
+            if (5 <= len(p) <= 8 and _ALNUM.match(p)) or \
+               (len(p) == 4 and p[0].isdigit() and _ALNUM.match(p)):
+                i += 1
+            else:
+                break
+        # extensions
+        seen_singletons = set()
+        while i < len(parts) and len(parts[i]) == 1 and parts[i] != "x" and _ALNUM.match(parts[i]):
+            singleton = parts[i]
+            if singleton in seen_singletons:
+                return None
+            seen_singletons.add(singleton)
+            i += 1
+            n_sub = 0
+            while i < len(parts) and 2 <= len(parts[i]) <= 8 and _ALNUM.match(parts[i]):
+                i += 1
+                n_sub += 1
+            if n_sub == 0:
+                return None
+    # privateuse
+    if i < len(parts) and parts[i] == "x":
+        i += 1
+        n_sub = 0
+        while i < len(parts) and 1 <= len(parts[i]) <= 8 and _ALNUM.match(parts[i]):
+            i += 1
+            n_sub += 1
+        if n_sub == 0:
+            return None
+    if i != len(parts):
+        return None
+    return lang
+
+
+def is_valid_language_tag(tag: str | None) -> bool:
+    """LanguageUtils.isValidLanguageTag:91-114: lowercase first char,
+    BCP 47 well-formed, language subtag present and <= 3 chars."""
+    if not tag:
+        return False
+    if not tag[0].islower():
+        return False
+    lang = _parse_langtag(tag)
+    return lang is not None and lang != "" and len(lang) <= 3
+
+
+def is_valid_osm_name_tag(tag: str) -> bool:
+    """LanguageUtils.isValidOsmNameTag:120-123."""
+    return tag.startswith("name:") and is_valid_language_tag(tag[5:])
+
+
+# --- partial Any-Latin transliteration ---------------------------------------
+
+# BGN/PCGN-flavored Cyrillic romanization (Russian base table; the shared
+# letters cover Ukrainian/Bulgarian/Serbian reasonably)
+_CYRILLIC = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "e",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "yu", "я": "ya",
+    "і": "i", "ї": "yi", "є": "ye", "ґ": "g", "ђ": "dj", "ј": "j",
+    "љ": "lj", "њ": "nj", "ћ": "c", "џ": "dz", "ѕ": "dz", "ќ": "k",
+    "ѓ": "g", "ў": "u",
+}
+# ELOT 743-flavored Greek romanization
+_GREEK = {
+    "α": "a", "β": "v", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "i",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "y",
+    "φ": "f", "χ": "ch", "ψ": "ps", "ω": "o",
+}
+_TABLES = {**_CYRILLIC, **_GREEK}
+
+
+def _translit_char(ch: str) -> str:
+    low = ch.lower()
+    if low in _TABLES:
+        out = _TABLES[low]
+        return out.capitalize() if ch != low and out else out
+    # precomposed accented letter (Greek tonos, Cyrillic diaeresis...):
+    # try the NFD base character, dropping the combining marks
+    decomp = unicodedata.normalize("NFD", ch)
+    if len(decomp) > 1 and decomp[0].lower() in _TABLES:
+        out = _TABLES[decomp[0].lower()]
+        return out.capitalize() if ch != low and out else out
+    return ch
+
+
+def transliterate(s: str | None) -> str | None:
+    """Partial Any-Latin: table romanization (Cyrillic/Greek) then NFKD
+    diacritic folding of whatever is Latin already. Scripts without a table
+    here (Han, Kana, Arabic, ...) pass through unchanged — ICU's pinyin /
+    kana readings need the Unihan data files this container doesn't have
+    (ThreadLocalTransliterator.java:18 delegates to ICU4J for those)."""
+    if s is None:
+        return None
+    romanized = "".join(_translit_char(c) for c in unicodedata.normalize("NFC", s))
+    folded = []
+    for ch in unicodedata.normalize("NFKD", romanized):
+        cat = unicodedata.category(ch)
+        if cat == "Mn":
+            continue  # strip combining diacritics
+        folded.append(ch)
+    return unicodedata.normalize("NFC", "".join(folded))
+
+
+def _latin_name_batch(tags: pd.Series) -> pd.Series:
+    def pick(t):
+        if t is None:
+            return None
+        name = t.get("name")
+        if name and contains_only_latin_characters(name):
+            return name
+        for k in ("name:en", "name:de"):
+            v = t.get(k)
+            if v:
+                return v
+        return transliterate(name) if name else None
+    return tags.apply(pick)
+
+
+_latin_udf = None
+
+
+def latin_name_udf(col):
+    """OMT name:latin fallback (OmtLanguageUtils semantics): name if already
+    Latin-only, else name:en, name:de, then transliterate(name). The
+    pandas_udf is built on first call (needs an active SparkSession)."""
+    global _latin_udf
+    if _latin_udf is None:
+        _latin_udf = F.pandas_udf(_latin_name_batch, "string")
+    return _latin_udf(col)

@@ -1,0 +1,96 @@
+"""LanguageUtils port (functions/lang.py) — every vector from the reference's
+LanguageUtilsTest.java:13-101, plus transliteration coverage for the scripts
+the from-scratch tables support (ICU's Unihan-backed Han/Kana readings are
+documented out of scope — ThreadLocalTransliteratorTest's pinyin vector needs
+ICU data this container doesn't have)."""
+
+import pytest
+
+from planetiler_spark.functions import lang as L
+
+
+@pytest.mark.parametrize("inp,out", [
+    (None, None),
+    ("abcaāíìś+", "+"),
+    ("abcaāíìś", None),
+    ("日本", "日本"),
+    ("abca日āíìś+", "日+"),
+    ("(abc)", None),
+    ("日本 (Japan)", "日本"),
+    ("日本 [Japan - Nippon]", "日本"),
+    ("  Japan - Nippon (Japan) - Japan - 日本 - Japan - Nippon (Japan)", "日本"),
+    ("Japan - 日本~+  ", "日本~+"),
+    ("Japan / 日本 / Japan  ", "日本"),
+])
+def test_remove_latin_characters(inp, out):
+    # LanguageUtilsTest.testRemoveNonLatin:14-28
+    assert L.remove_latin_characters(inp) == out
+
+
+@pytest.mark.parametrize("tag", [
+    "es", "en-US", "en-001", "fr-x-gallo", "ko-Latn", "be-tarask", "ja-Latn",
+    "ja-Hira", "vls", "zh-hant-CN", "zh-Bopo", "zh-Latn-tongyong",
+    "zh-Latn-pinyin", "zh-Latn-wadegile", "yue-Latn-jyutping", "tec",
+    "nan-Latn-pehoeji", "en-t-zh", "zh-u-nu-hant", "en-u-sd-usnc",
+    "es-fonipa", "i-mingo",
+])
+def test_is_valid_language_tag(tag):
+    # LanguageUtilsTest.testIsValidLanguageTag:31-60
+    assert L.is_valid_language_tag(tag), tag
+
+
+@pytest.mark.parametrize("tag", [
+    "nombre", "", "xxxxx", "TEC", "en-x", "ja_rm", "ja_kana", "zh_pinyin",
+    "zh_zhuyin", "zh-Latn-wadegiles", "etymology", "etymology:wikidata",
+])
+def test_is_not_valid_language_tag(tag):
+    # LanguageUtilsTest.testIsNotValidLanguageTag:62-78
+    assert not L.is_valid_language_tag(tag), tag
+
+
+def test_osm_name_tags():
+    # LanguageUtilsTest.testIsValidOsmNameTag:81-101
+    assert L.is_valid_osm_name_tag("name:tlh")
+    for bad in ("name", "name:", "name:TEC", "official_name:en-US"):
+        assert not L.is_valid_osm_name_tag(bad), bad
+
+
+def test_contains_only_latin():
+    assert L.contains_only_latin_characters("Main Street 12, #4!")
+    assert L.contains_only_latin_characters("Crêperie São João")
+    assert not L.contains_only_latin_characters("Москва")
+    assert not L.contains_only_latin_characters("日本 (Japan)")
+    assert not L.contains_only_latin_characters(None)
+
+
+def test_transliterate_cyrillic_greek_and_folding():
+    assert L.transliterate("Москва") == "Moskva"
+    assert L.transliterate("Санкт-Петербург") == "Sankt-Peterburg"
+    assert L.transliterate("Київ") == "Kiyiv"  # one shared table, not per-language
+    assert L.transliterate("Αθήνα") == "Athina"
+    assert L.transliterate("Θεσσαλονίκη") == "Thessaloniki"
+    # NFKD folding of Latin diacritics
+    assert L.transliterate("Crêperie São João") == "Creperie Sao Joao"
+    assert L.transliterate("Zürich") == "Zurich"
+    # untabled scripts pass through unchanged (honest partial)
+    assert L.transliterate("日本") == "日本"
+    assert L.transliterate(None) is None
+
+
+def test_latin_name_udf(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    rows = [
+        {"name": "Main St"},                                   # already latin
+        {"name": "Москва", "name:en": "Moscow"},               # name:en wins
+        {"name": "Αθήνα", "name:de": "Athen"},                 # name:de next
+        {"name": "Київ"},                                      # transliterated
+        {"name": "日本"},                                       # passthrough
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"tags": rows}))
+    got = [r[0] for r in df.select(L.latin_name_udf(F.col("tags"))).collect()]
+    assert got[0] == "Main St"
+    assert got[1] == "Moscow"
+    assert got[2] == "Athen"
+    assert got[3] and all(c.isascii() for c in got[3])
+    assert got[4] == "日本"
