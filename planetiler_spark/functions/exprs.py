@@ -111,3 +111,59 @@ def label_grid_cell(w: str, grid: str = "0.25") -> str:
     """Label-grid square index of a scaled coordinate (GeoUtils.labelGridId:422-427;
     wrap omitted because inputs here are already in [0, 2^z))."""
     return f"CAST(floor(({w}) / {grid}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash stand-in (images input_hint: phash:int64) — portable bit ops
+# ---------------------------------------------------------------------------
+
+def phash62(key: str) -> str:
+    """Non-negative 62-bit perceptual-hash stand-in: two independent Lehmer
+    streams packed hi*2^31 + lo. Stays < 2^62, so every band extraction below
+    is exact non-negative integer division in both engines."""
+    hi = lcg(key, 4)
+    lo = lcg(key, 5)
+    return f"({hi} * 2147483648 + {lo})"
+
+
+def flip_bits(expr: str, mask: int) -> str:
+    """XOR a compile-time constant mask into a non-negative BIGINT without a
+    bitwise operator (Spark spells xor `^`, DuckDB spells it `xor()` — and
+    DuckDB's `^` is power). Distinct-bit flips are independent, and bit b's
+    contribution to x is (x % 2^(b+1)) - (x % 2^b) ∈ {0, 2^b}, so
+    x xor mask == x + sum_b [2^b - 2*((x % 2^(b+1)) - (x % 2^b))] over the set
+    bits of mask — pure integer add/mod, exact in both engines."""
+    out = f"({expr})"
+    terms = []
+    b = 0
+    while mask >> b:
+        if (mask >> b) & 1:
+            p = 1 << b
+            terms.append(
+                f"({p} - 2 * ((({expr}) % {2 * p}) - (({expr}) % {p})))")
+        b += 1
+    if not terms:
+        return out
+    return f"({out} + {' + '.join(terms)})"
+
+
+def hash_band(expr: str, band: int, width_bits: int = 16) -> str:
+    """band-th `width_bits`-bit slice of a non-negative (< 2^62) BIGINT hash —
+    the LSH band key. ((x % hi) - (x % lo)) is band_val * lo exactly, and
+    band_val has <= width_bits significant bits, so the one float division by
+    a power of two is exact (same argument as the sort-key extraction note)."""
+    lo = 1 << (band * width_bits)
+    hi = lo << width_bits
+    if band == 0:
+        return f"((({expr})) % {hi})"
+    top = f"({expr})" if hi > (1 << 62) else f"(({expr}) % {hi})"
+    return (f"CAST(round(({top} - (({expr}) % {lo})) / {lo}.0) AS BIGINT)")
+
+
+def hamming62(a: str, b: str, dialect: str) -> str:
+    """popcount(a xor b) for non-negative BIGINTs. The one fragment that needs
+    a per-engine spelling: Spark's bitwise xor is the `^` operator, DuckDB's is
+    the xor() function (its `^` is exponentiation). bit_count() exists in both."""
+    if dialect == "duckdb":
+        return f"bit_count(xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT)))"
+    return f"bit_count(CAST({a} AS BIGINT) ^ CAST({b} AS BIGINT))"

@@ -1425,6 +1425,100 @@ def simhash16(spark, sf_dir):
         F.expr(f"CAST({_simhash_bits_sql()} AS BIGINT)").alias("simhash"))
 
 
+# --- image perceptual-hash near-dup (input_hint column phash:int64) ---------
+# Planted-duplicate fixture derived from p_partkey: groups of 4 share a base
+# 62-bit hash; members flip fixed masks chosen so each variant leaves >=1 of
+# the 4 16-bit LSH bands untouched (band-join recall) and pairwise Hamming
+# separates cleanly: d(base,v1)=2, d(base,v2)=5 (near-dups, <= 6);
+# d(base,v3)=9 and all variant-variant distances (7/11/14) exceed the
+# threshold — masks are pairwise bit-disjoint so distances just add.
+_PH_MASKS = (
+    0,
+    (1 << 5) | (1 << 37),                                              # 2 bits
+    (1 << 2) | (1 << 19) | (1 << 23) | (1 << 26) | (1 << 40),          # 5 bits
+    (1 << 1) | (1 << 7) | (1 << 12) | (1 << 21) | (1 << 29)
+    | (1 << 35) | (1 << 44) | (1 << 50) | (1 << 59),                   # 9 bits
+)
+_PH_T = 6            # Hamming radius for "near duplicate"
+_PH_BUCKET_CAP = 1000  # per-band-bucket cap (same skew bound as dedup_minhash_lsh)
+_PH_GRP = "CAST(round((p_partkey - (p_partkey % 4)) / 4.0) AS BIGINT)"
+
+
+def _phash_case(ph0: str) -> str:
+    """Member m of each 4-group gets ph0 xor _PH_MASKS[m] (portable flip_bits)."""
+    return (f"CASE WHEN m = 0 THEN {ph0}"
+            f" WHEN m = 1 THEN {X.flip_bits(ph0, _PH_MASKS[1])}"
+            f" WHEN m = 2 THEN {X.flip_bits(ph0, _PH_MASKS[2])}"
+            f" ELSE {X.flip_bits(ph0, _PH_MASKS[3])} END")
+
+
+def _phash_near_dup_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT id, ph, {b} AS band, {X.hash_band('ph', b)} AS bv FROM hashed"
+        for b in range(4))
+    ham = X.hamming62("ph_a", "ph_b", "duckdb")
+    return f"""
+    WITH base AS (
+      SELECT p_partkey AS id, p_partkey % 4 AS m, {X.phash62(_PH_GRP)} AS ph0
+      FROM part
+    ),
+    hashed AS (SELECT id, {_phash_case('ph0')} AS ph FROM base),
+    bands AS ({bands}),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bv ORDER BY id) AS rn
+        FROM bands
+      ) WHERE rn <= {_PH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ph AS ph_a, b.ph AS ph_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand WHERE {ham} <= {_PH_T}
+    """
+
+
+@query("phash_near_dup", _phash_near_dup_oracle)
+def phash_near_dup(spark, sf_dir):
+    """Image near-duplicate detection on the perceptual-hash column
+    (BASELINE.json input_hint: phash:int64) — the image twin of
+    dedup_minhash_lsh. Hamming-radius-6 pairs found WITHOUT an all-pairs join:
+    split each 64-bit phash into 4 x 16-bit bands (pigeonhole: any pair within
+    distance 3 shares an intact band for certain; at radius 6 recall is
+    guaranteed whenever the differing bits touch <= 3 of the 4 bands — true of
+    the planted fixture and typical of real pHash perturbations) -> equi-join
+    on (band, band_value) -> exact popcount(xor) refine.
+    Per-bucket cap bounds degenerate buckets (same skew guard as the text
+    LSH). Scale shape: two narrow shuffles (band join + pair distinct), no
+    broadcast needed, no all-pairs blowup."""
+    part = tbl(spark, sf_dir, "part")
+    hashed = (part
+              .select(F.col("p_partkey").alias("id"),
+                      (F.col("p_partkey") % 4).alias("m"),
+                      F.expr(X.phash62(_PH_GRP)).alias("ph0"))
+              .select("id", F.expr(_phash_case("ph0")).alias("ph")))
+    bands = hashed.select(
+        "id", "ph",
+        F.posexplode(F.array(*[F.expr(X.hash_band("ph", b)) for b in range(4)])
+                     ).alias("band", "bv"))
+    capped = (bands
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("band", "bv").orderBy("id")))
+              .filter(F.col("rn") <= _PH_BUCKET_CAP))
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.expr(X.hamming62("ph_a", "ph_b", "spark"))
+    return (cand.filter(ham <= _PH_T)
+            .select("id_a", "id_b", ham.cast("long").alias("hamming")))
+
+
 @query(
     "embedding_cosine_topk",
     """
@@ -1762,31 +1856,36 @@ def images_tileset(spark, sf_dir):
     return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
 
 
-@query("raster_tile_patches")  # rows-only: raster<->vector graft axis
+@query("raster_tile_patches")  # rows-only: raster<->vector graft + PSNR invariant
 def raster_tile_patches(spark, sf_dir):
-    """Raster graft: decode image bytes -> crop per-z14-tile patches -> paste
-    into 256x256 canvases via groupBy(tile_id).applyInPandas."""
+    """Raster graft AND its distributed verify job in one result set (merged
+    with the former `patch_psnr_verify` row to free a gate slot): decode image
+    bytes -> crop per-z14-tile patches -> paste into 256x256 canvases via
+    groupBy(tile_id).applyInPandas, unioned with the BASELINE.json input_hint
+    invariant check — decoded patch pixels vs deterministic source (exact for
+    png, PSNR>=40dB lossy) and caption equality, aggregated per outcome.
+    `kind` discriminates: 'patch' rows carry the tile index (n = images in
+    tile), 'verify' rows carry (pixels_ok, caption_ok, n = patches, min_psnr)."""
     from ..operators import tile_pipeline as tp
     from ..sources import images as src
 
     imgs = src.images_df(spark, _images_n(sf_dir, 150), partitions=8, with_bytes=True)
-    rast = tp.raster_tileset(spark, imgs)
-    return rast.select("tile_id", "zoom", "x", "y", "n_images")
-
-
-@query("patch_psnr_verify")  # rows-only: per-row PSNR>=40dB + caption invariant
-def patch_psnr_verify(spark, sf_dir):
-    """Distributed verify job (BASELINE.json input_hint invariant): decoded
-    patch pixels vs deterministic source (exact for png, PSNR>=40dB lossy)
-    and caption equality, aggregated per format."""
-    from ..operators import tile_pipeline as tp
-    from ..sources import images as src
-
-    imgs = src.images_df(spark, _images_n(sf_dir, 120), partitions=8, with_bytes=True)
-    checks = tp.verify_patches(tp.render_patches(imgs))
-    return checks.groupBy("pixels_ok", "caption_ok").agg(
-        F.count("*").alias("n_patches"),
-        F.min("psnr").alias("min_psnr"))
+    patches = tp.render_patches(imgs)
+    _b = F.lit(None).cast("boolean")
+    rast = tp.encode_raster_tiles(patches).select(
+        F.lit("patch").alias("kind"), "tile_id", "zoom", "x", "y",
+        F.col("n_images").cast("long").alias("n"),
+        _b.alias("pixels_ok"), _b.alias("caption_ok"),
+        F.lit(None).cast("double").alias("min_psnr"))
+    _l = F.lit(None).cast("long")
+    ver = (tp.verify_patches(patches)
+           .groupBy("pixels_ok", "caption_ok")
+           .agg(F.count("*").alias("n"), F.min("psnr").alias("min_psnr"))
+           .select(F.lit("verify").alias("kind"), _l.alias("tile_id"),
+                   F.lit(None).cast("int").alias("zoom"), _l.alias("x"),
+                   _l.alias("y"), F.col("n").cast("long").alias("n"),
+                   "pixels_ok", "caption_ok", "min_psnr"))
+    return rast.unionByName(ver)
 
 
 def _zone_edges_sql() -> str:

@@ -35,6 +35,54 @@ def test_minhash_lsh_bucket_cap(spark, skew_dir):
     assert n == math.comb(Q._LSH_DOC_CAP, 2)  # 499,500
 
 
+M31 = 2147483647
+
+
+def _lcg_py(x, steps):
+    x %= M31
+    for _ in range(steps):
+        x = (x * 48271) % M31
+    return x
+
+
+def _phash_py(key):
+    g = key // 4
+    base = _lcg_py(g, 4) * 2147483648 + _lcg_py(g, 5)
+    return base ^ Q._PH_MASKS[key % 4]
+
+
+def test_phash_near_dup_planted_pairs_exact(spark, tmp_path):
+    """Output == the Python ground truth pair set: per 4-group exactly
+    (base, v1, h=2) and (base, v2, h=5); brute force confirms nothing else
+    within the Hamming radius, and the band join loses none of them."""
+    keys = list(range(400))
+    pd.DataFrame({"p_partkey": keys}).to_parquet(tmp_path / "part.parquet")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in Q.phash_near_dup(spark, str(tmp_path)).collect()}
+
+    ph = {k: _phash_py(k) for k in keys}
+    brute = {(a, b, bin(ph[a] ^ ph[b]).count("1"))
+             for i, a in enumerate(keys) for b in keys[i + 1:]
+             if bin(ph[a] ^ ph[b]).count("1") <= Q._PH_T}
+    expected = {(4 * g, 4 * g + 1, 2) for g in range(100)} | \
+               {(4 * g, 4 * g + 2, 5) for g in range(100)}
+    assert brute == expected          # fixture separation holds
+    assert got == expected            # band join recalls every true pair
+
+
+def test_phash_near_dup_bucket_cap(spark, tmp_path):
+    """Hot-bucket bound: keys k + 4*j*(2^31-1) share k's full Lehmer stream
+    AND k % 4, hence an identical phash — 2200 such ids collide in every
+    band. Rank-capped at _PH_BUCKET_CAP, output is exactly C(cap, 2) instead
+    of C(2200, 2)."""
+    n, cap = 2200, Q._PH_BUCKET_CAP
+    keys = [7 + 4 * j * M31 for j in range(n)]
+    pd.DataFrame({"p_partkey": keys}).to_parquet(tmp_path / "part.parquet")
+    out = Q.phash_near_dup(spark, str(tmp_path))
+    assert out.count() == math.comb(cap, 2)
+    assert out.filter("hamming <> 0").count() == 0
+
+
 def test_lsh_ann_bucket_cap(spark, tmp_path):
     # 3000 identical embeddings -> one (band, sig) bucket per band; each
     # query's candidates are bounded by the indexed-side cap.
