@@ -161,33 +161,42 @@ def scan_blobs(path: str) -> list[tuple[int, int, int, str]]:
 
 
 def _inflate_blob(raw: bytes) -> bytes:
-    """Blob payload decode (fileformat.proto; OsmInputFile handles the same
-    optional codecs). zlib + raw + lzma decode via the stdlib; lz4/zstd are
-    real-world-rare and decode when their libraries are present (import-try
-    — this container ships neither)."""
+    """Blob payload decode (fileformat.proto; PbfDecoder.java:64-98 handles
+    raw/zlib/lz4). zlib + raw + lzma via the stdlib; lz4 via the from-scratch
+    block codec in kernels/lz4.py with the SAME semantics as the reference's
+    LZ4FastDecompressor call (raw block format, length = Blob.raw_size,
+    whole input consumed — PbfDecoder.java:80-95). zstd is the one codec the
+    reference itself rejects ("only lz4, zlib, or raw may be used",
+    PbfDecoder.java:97); we accept it when the library exists, else raise."""
     data = None
+    raw_size = None
+    lz4_payload = None
     for field, wire, val in _fields(memoryview(raw)):
         if field == 1:      # raw
             data = bytes(val)
+        elif field == 2:    # raw_size (decompressed length)
+            raw_size = val
         elif field == 3:    # zlib_data
             data = zlib.decompress(bytes(val))
         elif field == 4:    # lzma_data (xz/raw-lzma container)
             import lzma
             data = lzma.decompress(bytes(val))
-        elif field == 6:    # lz4_data (frame format)
-            try:
-                import lz4.frame
-            except ImportError as e:
-                raise NotImplementedError(
-                    "lz4-compressed OSM blob: lz4 library not installed") from e
-            data = lz4.frame.decompress(bytes(val))
+        elif field == 6:    # lz4_data (raw block, PbfDecoder.java:80)
+            lz4_payload = bytes(val)
         elif field == 7:    # zstd_data
             try:
                 import zstandard
             except ImportError as e:
                 raise NotImplementedError(
-                    "zstd-compressed OSM blob: zstandard library not installed") from e
+                    "zstd-compressed OSM blob: beyond the reference "
+                    "(PbfDecoder.java:97 rejects it) and no zstd library "
+                    "is installed") from e
             data = zstandard.ZstdDecompressor().decompress(bytes(val))
+    if lz4_payload is not None:
+        if raw_size is None:
+            raise ValueError("lz4 blob missing raw_size")
+        from ..kernels.lz4 import decompress_block
+        data = decompress_block(lz4_payload, raw_size)
     if data is None:
         raise ValueError("Blob carries no data field")
     return data

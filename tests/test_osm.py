@@ -136,14 +136,36 @@ def test_inflate_blob_codecs():
                 break
         return bytes(out) + body
 
+    def varint_field(field, n):
+        out = bytearray([field << 3])
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | 0x80 if n else b)
+            if not n:
+                break
+        return bytes(out)
+
     assert osm._inflate_blob(blob(1, payload)) == payload
     assert osm._inflate_blob(blob(3, zlib.compress(payload))) == payload
     assert osm._inflate_blob(blob(4, lzma.compress(payload))) == payload
+
+    # lz4: raw block + raw_size, decoded by the from-scratch codec with the
+    # reference's exact contract (PbfDecoder.java:80-95) — raw_size before or
+    # after the data field, and missing raw_size is an error
+    from planetiler_spark.kernels.lz4 import compress_block
+    lz = compress_block(payload)
+    msg = varint_field(2, len(payload)) + blob(6, lz)
+    assert osm._inflate_blob(msg) == payload
+    msg = blob(6, lz) + varint_field(2, len(payload))
+    assert osm._inflate_blob(msg) == payload
+    with pytest.raises(ValueError, match="raw_size"):
+        osm._inflate_blob(blob(6, lz))
+
+    # zstd: the reference itself rejects this codec; we only accept it with a
+    # library the container doesn't ship
     try:
-        import lz4.frame  # noqa: F401
-        has_lz4 = True
+        import zstandard  # noqa: F401
     except ImportError:
-        has_lz4 = False
-    if not has_lz4:
-        with pytest.raises(NotImplementedError, match="lz4"):
-            osm._inflate_blob(blob(6, payload))
+        with pytest.raises(NotImplementedError, match="zstd"):
+            osm._inflate_blob(blob(7, payload))
