@@ -413,12 +413,24 @@ def verify_patches(patches: DataFrame) -> DataFrame:
         # row, so psnr is the image-level value (a 1xN sliver crop can sit
         # on ringing pixels and dip below 40 locally while the image clears
         # 43+; judging the contract on slivers would be the wrong unit).
+        # patches of one image land consecutively (render_patches emits them
+        # together), so tiny per-image caches turn the ~2-4 patches/image into
+        # ONE source synthesis and ONE lossy round trip per image
+        full_cache: dict[int, np.ndarray] = {}
         lossy_cache: dict[int, tuple[np.ndarray, float]] = {}
+
+        def pristine_full(i: int, w: int, h: int) -> np.ndarray:
+            hit = full_cache.get(i)
+            if hit is None:
+                if len(full_cache) > 256:
+                    full_cache.clear()
+                hit = full_cache[i] = src._pixels(i, w, h)
+            return hit
 
         def lossy_full(i: int, w: int, h: int) -> tuple[np.ndarray, float]:
             hit = lossy_cache.get(i)
             if hit is None:
-                full = src._pixels(i, w, h)
+                full = pristine_full(i, w, h)
                 dec = ik.decode_image(ik.encode_image(full, "jpeg"), "jpeg")
                 if len(lossy_cache) > 256:
                     lossy_cache.clear()
@@ -437,7 +449,7 @@ def verify_patches(patches: DataFrame) -> DataFrame:
                 gx0 = int(round(float(wx[0]) * 256 * n))
                 gy0 = int(round(float(wy[0]) * 256 * n))
                 w = h = src.BIG_SIZE if i % 10 == 9 else src.DEFAULT_SIZE
-                full = src._pixels(i, w, h)
+                full = pristine_full(i, w, h)
                 x0, y0, z0 = tm.tile_decode(np.int64(r.tile_id))
                 worldpx = 256 * n  # x wraps at the antimeridian (mod world pixels)
                 cx0 = (int(r.px0) + int(x0) * 256 - (gx0 - w // 2)) % worldpx

@@ -1851,7 +1851,7 @@ def images_tileset(spark, sf_dir):
     from ..operators import tile_pipeline as tp
     from ..sources import images as src
 
-    imgs = src.images_df(spark, _images_n(sf_dir, 1200), partitions=16, with_bytes=False)
+    imgs = src.images_table(spark, _images_n(sf_dir, 1200), partitions=16, with_bytes=False)
     tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=11)
     return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
 
@@ -1869,8 +1869,10 @@ def raster_tile_patches(spark, sf_dir):
     from ..operators import tile_pipeline as tp
     from ..sources import images as src
 
-    imgs = src.images_df(spark, _images_n(sf_dir, 150), partitions=8, with_bytes=True)
-    patches = tp.render_patches(imgs)
+    imgs = src.images_table(spark, _images_n(sf_dir, 150), partitions=8, with_bytes=True)
+    # both branches (tile paste + verify) consume the rendered patches; persist
+    # so the decode/crop/re-encode pass runs once (LRU-evicted, MEMORY_AND_DISK)
+    patches = tp.render_patches(imgs).persist()
     _b = F.lit(None).cast("boolean")
     rast = tp.encode_raster_tiles(patches).select(
         F.lit("patch").alias("kind"), "tile_id", "zoom", "x", "y",
@@ -2191,7 +2193,7 @@ def knn_zone_centroids(spark, sf_dir):
     from ..operators import spatial as sp
     from ..sources import images as src
 
-    imgs = src.images_df(spark, _images_n(sf_dir, 1500), partitions=16, with_bytes=False)
+    imgs = src.images_table(spark, _images_n(sf_dir, 1500), partitions=16, with_bytes=False)
     knn = sp.knn_zones(imgs, k=5)
     return knn.groupBy("rank").agg(
         F.count("*").alias("n"),
@@ -2430,7 +2432,7 @@ def archive_write_verify(spark, sf_dir):
     from ..sources import archives as ar
     from ..sources import images as src
 
-    imgs = src.images_df(spark, _images_n(sf_dir, 300), partitions=8, with_bytes=False)
+    imgs = src.images_table(spark, _images_n(sf_dir, 300), partitions=8, with_bytes=False)
     # z0-11 at sf0.01 yields ~19k directory entries > 16384, so the PMTiles
     # root spills into leaf directories — the flagship sink holding the
     # flagship output, streamed (no driver collect of tile bytes)

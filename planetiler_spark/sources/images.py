@@ -19,6 +19,7 @@ PlanetilerTests.java:82-180; this module plays that role for the graft.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import pandas as pd
@@ -144,6 +145,32 @@ def images_df(spark, n: int, partitions: int = 64, with_bytes: bool = True):
             yield images_batch(pdf["id"].to_numpy(), with_bytes=with_bytes)
 
     return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fixtures")
+# bump when images_batch / the codecs change what the stored rows contain
+FIXTURE_VERSION = 1
+
+
+def images_table(spark, n: int, partitions: int = 64, with_bytes: bool = True):
+    """The images input as a STORED table (BASELINE.json input_hint: the input
+    is a table of image+caption rows — e.g. Iceberg/parquet — not a generator).
+    Materializes images_df once under .fixtures/ and reads it back, so queries
+    and benches measure the engine, not fixture synthesis + jpeg encode
+    (tools/bench_scaling.py has always done this for the scaling evidence).
+    Read partitioning is bumped back to `partitions` when Spark's file
+    bin-packing would collapse a small table into too few splits."""
+    key = f"images_v{FIXTURE_VERSION}_n{n}_b{int(with_bytes)}"
+    path = os.path.join(FIXTURE_DIR, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (images_df(spark, n, partitions=partitions, with_bytes=with_bytes)
+         .write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+    if df.rdd.getNumPartitions() < partitions:
+        df = df.repartition(partitions)
+    return df
 
 
 # ---------------------------------------------------------------------------
