@@ -4,8 +4,9 @@ Planetiler.run, Planetiler.java:791-996).
 Run locally:
   python -m planetiler_spark.plans.pipeline --n 2000 --out /tmp/tiles_out
 
-Or on a cluster (north_rule launch mode):
-  spark-submit --py-files planetiler_spark.zip -m planetiler_spark.plans.pipeline ...
+Or on a cluster (north_rule launch mode; tools/package.py builds the zip):
+  spark-submit --py-files dist/planetiler_spark.zip \
+      planetiler_spark/plans/pipeline.py --n ... --out ...
 
 Stages mirror the reference's run(): plan log -> render -> sort -> emit ->
 archive write (+ optional raster z14 pass + checkpointed mode + verify).
@@ -18,6 +19,17 @@ import json
 import os
 import sys
 import time
+
+# spark-submit runs this file as a SCRIPT, putting .../planetiler_spark/plans
+# at sys.path[0] — where our sibling module profile.py shadows the stdlib
+# `profile` that pyspark's profiler imports (circular-import crash). Drop the
+# script dir and make sure the repo root (the package's parent) is importable;
+# under --py-files the zip is already on the path for executors.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path[:] = [p for p in sys.path if os.path.abspath(p or os.getcwd()) != _HERE]
+_ROOT = os.path.dirname(os.path.dirname(_HERE))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv=None):
@@ -53,10 +65,13 @@ def main(argv=None):
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    from ..operators import checkpoint as cp
-    from ..operators import progress as pg
-    from ..operators import tile_pipeline as tp
-    from ..sources import images as src
+    # absolute imports so this file works BOTH as a module
+    # (python -m planetiler_spark.plans.pipeline) and as a spark-submit script
+    # (run as __main__ with no parent package)
+    from planetiler_spark.operators import checkpoint as cp
+    from planetiler_spark.operators import progress as pg
+    from planetiler_spark.operators import tile_pipeline as tp
+    from planetiler_spark.sources import images as src
 
     t0 = time.time()
     images = src.images_df(spark, args.n, partitions=max(cpus * 2, 8),
