@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "dedup_minhash_lsh",
     "simhash16",
+    "phash_near_dup",
 ]
 
 

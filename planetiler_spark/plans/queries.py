@@ -1471,12 +1471,15 @@ def _phash_near_dup_oracle() -> str:
       ) WHERE rn <= {_PH_BUCKET_CAP}
     ),
     cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ph AS ph_a, b.ph AS ph_b
+      -- refine BEFORE the pair-dedup: hamming is a function of the pair, so
+      -- filtering first shrinks the distinct's input (same rows out)
+      SELECT a.id AS id_a, b.id AS id_b, a.ph AS ph_a, b.ph AS ph_b
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+      WHERE {ham.replace('ph_a', 'a.ph').replace('ph_b', 'b.ph')} <= {_PH_T}
     )
-    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
-    FROM cand WHERE {ham} <= {_PH_T}
+    SELECT DISTINCT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand
     """
 
 
@@ -1508,15 +1511,17 @@ def phash_near_dup(spark, sf_dir):
                   W.partitionBy("band", "bv").orderBy("id")))
               .filter(F.col("rn") <= _PH_BUCKET_CAP))
     a, b = capped.alias("a"), capped.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+    ham = F.expr(X.hamming62("ph_a", "ph_b", "spark"))
+    # refine BEFORE the pair-dedup: hamming is pair-determined, so filtering
+    # first shrinks the distinct's shuffle input (same rows out)
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bv") == F.col("b.bv"))
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    ham = F.expr(X.hamming62("ph_a", "ph_b", "spark"))
-    return (cand.filter(ham <= _PH_T)
-            .select("id_a", "id_b", ham.cast("long").alias("hamming")))
+            .filter(ham <= _PH_T)
+            .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+            .distinct())
 
 
 @query(
