@@ -2421,7 +2421,27 @@ def streaming_ops(spark, sf_dir):
         F.sum("n_events").cast("long").alias("b")).select(
         F.lit("sessions").alias("surface"), F.lit("all").alias("k"), "a", "b")
 
-    return win_rows.unionByName(sess_rows)
+    # surface 3: incremental tileset maintenance — two micro-batches of image
+    # rows keep a materialized tile table up to date (affected-bucket
+    # re-encode only); the aggregate must equal the batch tileset's
+    from ..sources import images as src
+    from ..streaming import tiles as stl
+
+    d3 = f"{tempfile.gettempdir()}/psq_inc_{uuid.uuid4().hex[:8]}"
+    n3 = _images_n(sf_dir, 40)
+    imgs3 = src.images_df(spark, n3, partitions=4, with_bytes=False)
+    half = f"img{n3 // 2:012d}"
+    stl.apply_batch(spark, imgs3.filter(F.col("image_id") < half), 0, d3,
+                    0, 6, n_buckets=16)
+    stl.apply_batch(spark, imgs3.filter(F.col("image_id") >= half), 1, d3,
+                    0, 6, n_buckets=16)
+    inc_rows = (stl.read_tiles(spark, d3).agg(
+        F.count("*").alias("a"),
+        F.sum("n_features").cast("long").alias("b"))
+        .select(F.lit("incremental_tiles").alias("surface"),
+                F.lit("all").alias("k"), "a", "b"))
+
+    return win_rows.unionByName(sess_rows).unionByName(inc_rows)
 
 
 @query("archive_write_verify")  # rows-only: sqlite/pmtiles sinks not SQL
