@@ -1,0 +1,104 @@
+"""Multimodal image operators (operators/image_ops.py): bilinear resize,
+real pHash feature extraction, video frame-sample plumbing."""
+
+import numpy as np
+import pytest
+
+from planetiler_spark.kernels import image as ik
+from planetiler_spark.operators import image_ops as io_ops
+from planetiler_spark.sources import images as src
+
+
+def ramp(h, w, ax=30, ay=14, b=7):
+    """Linear ramp image: px = ax*xn + ay*yn + b at half-pixel-center coords —
+    bilinear resampling reproduces affine functions exactly, so the resized
+    ramp is known analytically."""
+    xn = (np.arange(w) + 0.5) / w
+    yn = (np.arange(h) + 0.5) / h
+    v = ax * xn[None, :] + ay * yn[:, None] + b
+    return np.clip(np.rint(v), 0, 255).astype(np.uint8)[:, :, None].repeat(3, 2)
+
+
+def test_resize_exact_on_affine_ramp():
+    big = ramp(64, 64).astype(np.uint8)
+    # build from float to avoid double-rounding: recompute expected directly
+    out = io_ops.resize_pixels(big, 16, 16)
+    want = ramp(16, 16)
+    assert out.shape == (16, 16, 3)
+    # ramp quantization to uint8 before resize introduces <=0.5 error per
+    # sample; bilinear averages them, so allow 1 count
+    assert np.max(np.abs(out.astype(int) - want.astype(int))) <= 1
+
+
+def test_resize_identity_and_upscale():
+    px = src._pixels(3, 32, 32)
+    assert np.array_equal(io_ops.resize_pixels(px, 32, 32), px)
+    up = io_ops.resize_pixels(px, 64, 64)
+    assert up.shape == (64, 64, 3)
+    # energy preserved approximately under upscale
+    assert abs(float(up.mean()) - float(px.mean())) < 2.0
+
+
+def test_phash_properties():
+    px = src._pixels(11, 64, 64)
+    h1 = io_ops.phash_pixels(px)
+    assert h1 == io_ops.phash_pixels(px.copy())          # deterministic
+    # uniform brightness shift: DC excluded from the median -> tiny distance
+    brighter = np.clip(px.astype(int) + 8, 0, 255).astype(np.uint8)
+    d_bright = bin(h1 ^ io_ops.phash_pixels(brighter)).count("1")
+    assert d_bright <= 6
+    # mild blur (2x2 box): low-frequency signature survives
+    blur = ((px[0::2, 0::2].astype(int) + px[1::2, 0::2] + px[0::2, 1::2]
+             + px[1::2, 1::2]) // 4).astype(np.uint8)
+    d_blur = bin(h1 ^ io_ops.phash_pixels(blur)).count("1")
+    assert d_blur <= 12
+    # a structurally different image is far away (src._pixels images differ
+    # only by a constant offset mod 256, so use real noise as the contrast)
+    rng = np.random.default_rng(99)
+    noise = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    d_other = bin(h1 ^ io_ops.phash_pixels(noise)).count("1")
+    assert d_other > max(d_bright, d_blur)
+    assert d_other >= 16
+
+
+def test_resize_images_df(spark):
+    imgs = src.images_df(spark, 40, partitions=2, with_bytes=True)
+    out = io_ops.resize_images(imgs, 16, 16).collect()
+    assert len(out) == 40
+    for r in out[:5]:
+        px = ik.decode_png(bytes(r.bytes))
+        assert px.shape == (16, 16, 3) and r.fmt == "png"
+
+
+def test_extract_features_df(spark):
+    imgs = src.images_df(spark, 30, partitions=2, with_bytes=True)
+    rows = {r.image_id: r for r in io_ops.extract_features(imgs).collect()}
+    assert len(rows) == 30
+    r = rows["img000000000003"]
+    assert len(r.hist) == 24 and sum(r.hist) == 3 * 64 * 64
+    assert 0.0 <= r.luma_mean <= 255.0 and r.luma_std > 0
+    # phash matches the kernel applied directly to the decoded stored bytes
+    raw = {x.image_id: (bytes(x.bytes), x.fmt)
+           for x in imgs.filter("image_id = 'img000000000003'").collect()}
+    px = ik.decode_image(*raw["img000000000003"])
+    want = io_ops.phash_pixels(px)
+    got = r.phash64 + (1 << 64) if r.phash64 < 0 else r.phash64
+    assert got == want
+
+
+def test_sample_frames_plumbing(spark):
+    import pandas as pd
+    frames = [src._pixels(i, 16, 16) for i in range(7)]
+    blob = io_ops.encode_fake_video(frames)
+    vids = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["vid0"], "bytes": [blob]}))
+    out = sorted(io_ops.sample_frames(vids, every_n=2).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4, 6]
+    for r in out:
+        assert r.w == 16 and r.h == 16
+    got = ik.decode_png(bytes(out[1].bytes))
+    assert np.array_equal(got, frames[2])
+    # real codecs honestly absent: anything but the FVID container raises
+    with pytest.raises(NotImplementedError):
+        io_ops._decode_fake_video(b"\x00\x01realvideo")
