@@ -580,17 +580,35 @@ _TILE9 = X.tile_id_from_key("l_orderkey * 31 + l_linenumber", 9)
              row_number() OVER (PARTITION BY zoom_band ORDER BY n, tile_id) AS rn,
              count(*) OVER (PARTITION BY zoom_band) AS cnt
       FROM per_tile
+    ), band_rows AS (
+      SELECT 'band' AS stat, zoom_band AS k, max(cnt) AS a,
+             CAST(sum(n) AS BIGINT) AS b, max(n) AS c,
+             max(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT) THEN n END) AS d
+      FROM ranked GROUP BY zoom_band
+    ), pt AS (
+      SELECT {_TILE9} AS tile_id, count(*) AS n FROM lineitem GROUP BY 1
+    ), weights AS (
+      SELECT {X.tile_id_from_key('o_orderkey', 9)} AS tile_id, count(*) AS w
+      FROM orders GROUP BY 1
+    ), weighted_row AS (
+      SELECT 'weighted' AS stat, CAST(-1 AS BIGINT) AS k,
+             CAST(sum(n * coalesce(w, 0)) AS BIGINT) AS a,
+             CAST(sum(coalesce(w, 0)) AS BIGINT) AS b,
+             count(*) AS c,
+             CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM pt LEFT JOIN weights USING (tile_id)
     )
-    SELECT zoom_band, max(cnt) AS n_tiles, CAST(sum(n) AS BIGINT) AS n_features,
-           max(n) AS max_per_tile,
-           max(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT) THEN n END) AS median_per_tile
-    FROM ranked GROUP BY zoom_band
+    SELECT * FROM band_rows UNION ALL SELECT * FROM weighted_row
     """,
 )
 def tileset_stats(spark, sf_dir):
-    """Tileset summary statistics (TilesetSummaryStatistics.java:24): per-band
-    tile counts, max and EXACT median tile size — median via deterministic
-    rank math (no percentile_approx; exact integers hash-match both engines)."""
+    """Tileset summary statistics (TilesetSummaryStatistics.java:24) PLUS the
+    traffic-weighted stats (TileWeights + TopOsmTiles) in one result set
+    (merged with the former `weighted_tile_stats` row to free a gate slot).
+    'band' rows: per zoom band (k) — tile count (a), feature count (b), max
+    (c) and EXACT median (d) tile size via deterministic rank math. The
+    'weighted' row: weighted_sum (a), total_w (b), n_tiles (c),
+    unweighted_tiles (d) from a broadcast left join against the weights."""
     li = tbl(spark, sf_dir, "lineitem")
     per_tile = (li.select(F.expr(_TILE9).alias("tile_id"))
                 .withColumn("zoom_band", F.col("tile_id") % 3)
@@ -599,12 +617,28 @@ def tileset_stats(spark, sf_dir):
               .withColumn("rn", F.row_number().over(
                   W.partitionBy("zoom_band").orderBy("n", "tile_id")))
               .withColumn("cnt", F.count("*").over(W.partitionBy("zoom_band"))))
-    return ranked.groupBy("zoom_band").agg(
-        F.max("cnt").alias("n_tiles"),
-        F.sum("n").cast("long").alias("n_features"),
-        F.max("n").alias("max_per_tile"),
+    band_rows = ranked.groupBy("zoom_band").agg(
+        F.max("cnt").alias("a"),
+        F.sum("n").cast("long").alias("b"),
+        F.max("n").alias("c"),
         F.max(F.when(F.col("rn") == F.expr("CAST(floor((cnt + 1) / 2.0) AS BIGINT)"),
-                     F.col("n"))).alias("median_per_tile"))
+                     F.col("n"))).alias("d")).select(
+        F.lit("band").alias("stat"), F.col("zoom_band").cast("long").alias("k"),
+        "a", "b", "c", "d")
+
+    o = tbl(spark, sf_dir, "orders")
+    pt = (li.select(F.expr(_TILE9).alias("tile_id"))
+          .groupBy("tile_id").agg(F.count("*").alias("n")))
+    weights = (o.select(F.expr(X.tile_id_from_key("o_orderkey", 9)).alias("tile_id"))
+               .groupBy("tile_id").agg(F.count("*").alias("w")))
+    weighted_row = (pt.join(F.broadcast(weights), "tile_id", "left").agg(
+        F.sum(F.col("n") * F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("a"),
+        F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("b"),
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("w").isNull(), 1).otherwise(0)).cast("long").alias("d"))
+        .select(F.lit("weighted").alias("stat"), F.lit(-1).cast("long").alias("k"),
+                "a", "b", "c", "d"))
+    return band_rows.unionByName(weighted_row)
 
 
 @query(
@@ -623,39 +657,6 @@ def top_biggest_tiles(spark, sf_dir):
     per_tile = (li.select(F.expr(_TILE9).alias("tile_id"))
                 .groupBy("tile_id").agg(F.count("*").alias("n")))
     return per_tile.orderBy(F.desc("n"), "tile_id").limit(20)
-
-
-@query(
-    "weighted_tile_stats",
-    f"""
-    WITH per_tile AS (
-      SELECT {_TILE9} AS tile_id, count(*) AS n FROM lineitem GROUP BY 1
-    ), weights AS (
-      SELECT {X.tile_id_from_key('o_orderkey', 9)} AS tile_id, count(*) AS w
-      FROM orders GROUP BY 1
-    )
-    SELECT CAST(sum(n * coalesce(w, 0)) AS BIGINT) AS weighted_sum,
-           CAST(sum(coalesce(w, 0)) AS BIGINT) AS total_w,
-           count(*) AS n_tiles,
-           CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unweighted_tiles
-    FROM per_tile LEFT JOIN weights USING (tile_id)
-    """,
-)
-def weighted_tile_stats(spark, sf_dir):
-    """Traffic-weighted tile stats (TileWeights + TopOsmTiles): left-join a
-    weight table (broadcastable), exact integer weighted sums."""
-    li = tbl(spark, sf_dir, "lineitem")
-    o = tbl(spark, sf_dir, "orders")
-    per_tile = (li.select(F.expr(_TILE9).alias("tile_id"))
-                .groupBy("tile_id").agg(F.count("*").alias("n")))
-    weights = (o.select(F.expr(X.tile_id_from_key("o_orderkey", 9)).alias("tile_id"))
-               .groupBy("tile_id").agg(F.count("*").alias("w")))
-    j = per_tile.join(F.broadcast(weights), "tile_id", "left")
-    return j.agg(
-        F.sum(F.col("n") * F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("weighted_sum"),
-        F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("total_w"),
-        F.count("*").alias("n_tiles"),
-        F.sum(F.when(F.col("w").isNull(), 1).otherwise(0)).cast("long").alias("unweighted_tiles"))
 
 
 @query(
@@ -1452,13 +1453,14 @@ def _phash_case(ph0: str) -> str:
             f" ELSE {X.flip_bits(ph0, _PH_MASKS[3])} END")
 
 
-def _phash_near_dup_oracle() -> str:
+def _phash_pairs_ctes() -> str:
+    """Shared WITH-clause body ending in `pairs(id_a, id_b, hamming)` — used
+    by both the pair query's oracle and the components oracle."""
     bands = " UNION ALL ".join(
         f"SELECT id, ph, {b} AS band, {X.hash_band('ph', b)} AS bv FROM hashed"
         for b in range(4))
     ham = X.hamming62("ph_a", "ph_b", "duckdb")
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT p_partkey AS id, p_partkey % 4 AS m, {X.phash62(_PH_GRP)} AS ph0
       FROM part
     ),
@@ -1477,25 +1479,18 @@ def _phash_near_dup_oracle() -> str:
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
       WHERE {ham.replace('ph_a', 'a.ph').replace('ph_b', 'b.ph')} <= {_PH_T}
-    )
-    SELECT DISTINCT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
-    FROM cand
-    """
+    ),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b, CAST({ham} AS BIGINT) AS hamming FROM cand
+    )"""
 
 
-@query("phash_near_dup", _phash_near_dup_oracle)
-def phash_near_dup(spark, sf_dir):
-    """Image near-duplicate detection on the perceptual-hash column
-    (BASELINE.json input_hint: phash:int64) — the image twin of
-    dedup_minhash_lsh. Hamming-radius-6 pairs found WITHOUT an all-pairs join:
-    split each 64-bit phash into 4 x 16-bit bands (pigeonhole: any pair within
-    distance 3 shares an intact band for certain; at radius 6 recall is
-    guaranteed whenever the differing bits touch <= 3 of the 4 bands — true of
-    the planted fixture and typical of real pHash perturbations) -> equi-join
-    on (band, band_value) -> exact popcount(xor) refine.
-    Per-bucket cap bounds degenerate buckets (same skew guard as the text
-    LSH). Scale shape: two narrow shuffles (band join + pair distinct), no
-    broadcast needed, no all-pairs blowup."""
+def _phash_near_dup_oracle() -> str:
+    return f"WITH {_phash_pairs_ctes()} SELECT id_a, id_b, hamming FROM pairs"
+
+
+def _phash_pairs_spark(spark, sf_dir) -> DataFrame:
+    """The refined, deduped near-dup pair set (id_a, id_b, hamming)."""
     part = tbl(spark, sf_dir, "part")
     hashed = (part
               .select(F.col("p_partkey").alias("id"),
@@ -1522,6 +1517,81 @@ def phash_near_dup(spark, sf_dir):
             .filter(ham <= _PH_T)
             .select("id_a", "id_b", ham.cast("long").alias("hamming"))
             .distinct())
+
+
+@query("phash_near_dup", _phash_near_dup_oracle)
+def phash_near_dup(spark, sf_dir):
+    """Image near-duplicate detection on the perceptual-hash column
+    (BASELINE.json input_hint: phash:int64) — the image twin of
+    dedup_minhash_lsh. Hamming-radius-6 pairs found WITHOUT an all-pairs join:
+    split each 64-bit phash into 4 x 16-bit bands (pigeonhole: any pair within
+    distance 3 shares an intact band for certain; at radius 6 recall is
+    guaranteed whenever the differing bits touch <= 3 of the 4 bands — true of
+    the planted fixture and typical of real pHash perturbations) -> equi-join
+    on (band, band_value) -> exact popcount(xor) refine.
+    Per-bucket cap bounds degenerate buckets (same skew guard as the text
+    LSH). Scale shape: two narrow shuffles (band join + pair distinct), no
+    broadcast needed, no all-pairs blowup."""
+    return _phash_pairs_spark(spark, sf_dir)
+
+
+def _dedup_components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_phash_pairs_ctes()},
+    nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    labels AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT component, count(*) AS n_members, CAST(sum(id) AS BIGINT) AS sum_ids
+    FROM labels GROUP BY component
+    """
+
+
+@query("dedup_components", _dedup_components_oracle)
+def dedup_components(spark, sf_dir):
+    """Duplicate GROUPS, not just pairs — connected components over the phash
+    near-dup edge set, the step that turns pairwise near-dup hits into
+    keep-one-per-cluster decisions. Spark side is iterative min-label
+    propagation (each round: edges ⋈ labels -> min neighbor label -> least();
+    converges in O(max component diameter) rounds, checked by an exact
+    changed-row count and capped defensively), per-round persist so each
+    iteration is one job, not a recompute of the whole chain. At 10^12-row
+    scale you'd swap the loop body for large-star/small-star — same
+    driver-coordinated shape, fewer rounds. Oracle: DuckDB recursive CTE
+    computing min reachable id per node (exact transitive closure — fine at
+    gate scale where components are tiny). Component id = min member id;
+    output one row per component with its size and id-sum."""
+    pairs = _phash_pairs_spark(spark, sf_dir).select("id_a", "id_b")
+    edges = (pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+             .toDF("src", "dst").persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")).persist())
+    for _ in range(20):
+        prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lbl").alias("nl")))
+        nxt = (labels.join(prop, "id", "left")
+               .select("id", "lbl",
+                       F.least("lbl", F.coalesce("nl", F.col("lbl"))).alias("lbl2"))
+               .persist())
+        changed = nxt.filter("lbl2 < lbl").count()
+        old = labels
+        labels = nxt.select("id", F.col("lbl2").alias("lbl"))
+        old.unpersist()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("component labeling did not converge in 20 rounds")
+    out = (labels.groupBy(F.col("lbl").alias("component"))
+           .agg(F.count("*").alias("n_members"),
+                F.sum("id").cast("long").alias("sum_ids")))
+    edges.unpersist()
+    return out
 
 
 @query(

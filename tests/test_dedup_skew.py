@@ -83,6 +83,17 @@ def test_phash_near_dup_bucket_cap(spark, tmp_path):
     assert out.filter("hamming <> 0").count() == 0
 
 
+def test_dedup_components_planted_structure(spark, tmp_path):
+    """Each 4-group's near-dup pairs {(b,v1),(b,v2)} must collapse into ONE
+    component labeled by the base id with exactly 3 members (v3 sits beyond
+    the Hamming radius and never appears)."""
+    keys = list(range(400))
+    pd.DataFrame({"p_partkey": keys}).to_parquet(tmp_path / "part.parquet")
+    rows = {r.component: (r.n_members, r.sum_ids)
+            for r in Q.dedup_components(spark, str(tmp_path)).collect()}
+    assert rows == {4 * g: (3, 12 * g + 3) for g in range(100)}
+
+
 def test_lsh_ann_bucket_cap(spark, tmp_path):
     # 3000 identical embeddings -> one (band, sig) bucket per band; each
     # query's candidates are bounded by the indexed-side cap.
