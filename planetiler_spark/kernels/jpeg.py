@@ -562,13 +562,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     nxt = nxt[nxt < len(arr)]
     drop[nxt[arr[nxt] == 0x00]] = True
     arr = arr[~drop]
-    # O(1) 16-bit peek at any bit offset from 3 consecutive bytes (pad with
+    # O(1) 40-bit peek at any bit offset from 5 consecutive bytes (pad with
     # 1-bits so peeks past the end are defined, like the spec's 1-fill).
-    # Materialized as a Python list: the symbol loop below is the only
-    # sequential part of the decoder and list indexing beats numpy scalar
-    # indexing ~5x there.
+    # 40 bits cover a worst-case huffman code (16) + amplitude (15) + intra-
+    # byte offset (7) in ONE window, so each coefficient needs a single list
+    # index instead of two. Materialized as a Python list: the symbol loop
+    # below is the only sequential part of the decoder and list indexing
+    # beats numpy scalar indexing ~5x there.
     by = np.concatenate([arr, np.full(8, 0xFF, dtype=np.uint8)]).astype(np.int64)
-    b24l = ((by[:-2] << 16) | (by[1:-1] << 8) | by[2:]).tolist()
+    b40l = ((by[:-4] << 32) | (by[1:-3] << 24) | (by[2:-2] << 16)
+            | (by[3:-1] << 8) | by[4:]).tolist()
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -600,20 +603,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         for ci, dc_lut, ac_lut in order:
             if bitpos >= total_bits:
                 raise _JpegError("entropy data exhausted")
-            # DC
-            v = dc_lut[(b24l[bitpos >> 3] >> (8 - (bitpos & 7))) & 0xFFFF]
+            # DC — one 40-bit window serves both the huffman code (bits
+            # off..off+15) and the amplitude right behind it
+            off = bitpos & 7
+            w = b40l[bitpos >> 3]
+            v = dc_lut[(w >> (24 - off)) & 0xFFFF]
             ln = v >> 8
             if ln == 0:
                 raise _JpegError("invalid DC huffman prefix")
             size = v & 255
-            bitpos += ln
             if size:
-                amp = ((b24l[bitpos >> 3] >> (8 - (bitpos & 7))) & 0xFFFF) >> (16 - size)
-                bitpos += size
+                amp = (w >> (40 - off - ln - size)) & ((1 << size) - 1)
+                bitpos += ln + size
                 if amp < (1 << (size - 1)):
                     amp -= (1 << size) - 1
                 dcdiffs[ci].append(amp)
             else:
+                bitpos += ln
                 dcdiffs[ci].append(0)
             blockno = nseen[ci]
             nseen[ci] = blockno + 1
@@ -621,25 +627,28 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             arow, acol, aval = ac_row[ci], ac_col[ci], ac_val[ci]
             kpos = 1
             while kpos < 64:
-                v = ac_lut[(b24l[bitpos >> 3] >> (8 - (bitpos & 7))) & 0xFFFF]
+                off = bitpos & 7
+                w = b40l[bitpos >> 3]
+                v = ac_lut[(w >> (24 - off)) & 0xFFFF]
                 ln = v >> 8
                 if ln == 0:
                     raise _JpegError("invalid AC huffman prefix")
                 sym = v & 255
-                bitpos += ln
                 if sym == 0x00:  # EOB
+                    bitpos += ln
                     break
                 size = sym & 15
                 if size == 0:
                     if sym != 0xF0:
                         raise _JpegError(f"bad AC symbol {sym:02x}")
+                    bitpos += ln
                     kpos += 16  # ZRL
                     continue
                 kpos += sym >> 4
                 if kpos > 63:
                     raise _JpegError("AC run past block end")
-                amp = ((b24l[bitpos >> 3] >> (8 - (bitpos & 7))) & 0xFFFF) >> (16 - size)
-                bitpos += size
+                amp = (w >> (40 - off - ln - size)) & ((1 << size) - 1)
+                bitpos += ln + size
                 if amp < (1 << (size - 1)):
                     amp -= (1 << size) - 1
                 arow.append(blockno)
