@@ -241,7 +241,9 @@ def _quantized_zigzag(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     """(H, W) component plane -> (nblocks, 64) int32 quantized zigzag coeffs.
     One einsum DCT over every block at once (no per-block Python)."""
     blocks = _to_blocks(_pad8(plane) - 128.0)
-    coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M, optimize=True)
+    # two broadcast matmuls == the separable 2D DCT; einsum(optimize=True)
+    # re-ran its path search on every call (~0.2 ms each)
+    coef = (DCT_M @ blocks) @ DCT_M.T
     q = np.rint(coef.reshape(-1, 64) / qtbl[None, :].astype(np.float64))
     # clamp to 11 magnitude bits: a step-1 table on a basis-aligned pathological
     # block can quantize past +/-1023; the Annex-K AC table tops out at SSSS=10
@@ -250,13 +252,15 @@ def _quantized_zigzag(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     return np.clip(q, -1023, 1023).astype(np.int32)[:, ZIGZAG]
 
 
+_BIT_SIZE_LUT = np.concatenate(
+    [[0], np.floor(np.log2(np.arange(1, 2048))).astype(np.int64) + 1])
+
+
 def _bit_size(v: np.ndarray) -> np.ndarray:
-    """JPEG magnitude category: number of bits of |v| (0 for v == 0)."""
-    a = np.abs(v).astype(np.int64)
-    sz = np.zeros(a.shape, dtype=np.int64)
-    nz = a > 0
-    sz[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
-    return sz
+    """JPEG magnitude category: number of bits of |v| (0 for v == 0).
+    Coefficients are clamped to +/-1023 upstream and DC diffs stay within
+    +/-2047, so a 2048-entry gather replaces the float log2 round trip."""
+    return _BIT_SIZE_LUT[np.abs(v.astype(np.int64))]
 
 
 def _amplitude(v: np.ndarray, size: np.ndarray) -> np.ndarray:

@@ -151,7 +151,9 @@ FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".fixtures")
 # bump when images_batch / the codecs change what the stored rows contain
-FIXTURE_VERSION = 1
+# (v2: jpeg encoder's DCT switched from einsum to matmul — FP association
+# order can flip rint ties, so stored jpeg bytes may differ)
+FIXTURE_VERSION = 2
 
 
 def images_table(spark, n: int, partitions: int = 64, with_bytes: bool = True):
