@@ -78,7 +78,10 @@ def main():
     # noisiest under this host's 3-4x multi-core throughput swings (round-2's
     # knn_bruteforce 11.1->16.3s "regression" was unreproducible host noise;
     # VERDICT r2 #4 asked for the extra rep)
-    REPS = {"knn_bruteforce": 3, "knn_grid": 3}
+    REPS = {"knn_bruteforce": 3, "knn_grid": 3,
+            # the two image-pipeline rows derive the headline per-core
+            # throughput numbers — worth a third rep against the host swings
+            "images_tileset": 3, "raster_tile_patches": 3}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
