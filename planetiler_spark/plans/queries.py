@@ -1556,42 +1556,22 @@ def _dedup_components_oracle() -> str:
 def dedup_components(spark, sf_dir):
     """Duplicate GROUPS, not just pairs — connected components over the phash
     near-dup edge set, the step that turns pairwise near-dup hits into
-    keep-one-per-cluster decisions. Spark side is iterative min-label
-    propagation (each round: edges ⋈ labels -> min neighbor label -> least();
-    converges in O(max component diameter) rounds, checked by an exact
-    changed-row count and capped defensively), per-round persist so each
-    iteration is one job, not a recompute of the whole chain. At 10^12-row
-    scale you'd swap the loop body for large-star/small-star — same
-    driver-coordinated shape, fewer rounds. Oracle: DuckDB recursive CTE
-    computing min reachable id per node (exact transitive closure — fine at
-    gate scale where components are tiny). Component id = min member id;
-    output one row per component with its size and id-sum."""
-    pairs = _phash_pairs_spark(spark, sf_dir).select("id_a", "id_b")
-    edges = (pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
-             .toDF("src", "dst").persist())
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("lbl", F.col("id")).persist())
-    for _ in range(20):
-        prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("lbl").alias("nl")))
-        nxt = (labels.join(prop, "id", "left")
-               .select("id", "lbl",
-                       F.least("lbl", F.coalesce("nl", F.col("lbl"))).alias("lbl2"))
-               .persist())
-        changed = nxt.filter("lbl2 < lbl").count()
-        old = labels
-        labels = nxt.select("id", F.col("lbl2").alias("lbl"))
-        old.unpersist()
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("component labeling did not converge in 20 rounds")
-    out = (labels.groupBy(F.col("lbl").alias("component"))
-           .agg(F.count("*").alias("n_members"),
-                F.sum("id").cast("long").alias("sum_ids")))
-    edges.unpersist()
-    return out
+    keep-one-per-cluster decisions. Spark side is the alternating
+    large-star/small-star algorithm (operators/graph.py; Kiveris et al. SoCC
+    2014) — O(log n) rounds regardless of component diameter, so a
+    million-node chain of incrementally-edited boilerplate costs ~20 rounds,
+    not a million. Oracle: DuckDB recursive CTE computing min reachable id
+    per node (exact transitive closure — fine at gate scale where components
+    are tiny). Component id = min member id (both algorithms' canonical
+    label); output one row per component with its size and id-sum."""
+    from ..operators.graph import connected_components
+
+    pairs = _phash_pairs_spark(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(pairs)
+    return (labels.groupBy("component")
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("id").cast("long").alias("sum_ids")))
 
 
 @query(
