@@ -124,3 +124,46 @@ def test_dp_simplify_invariants(pts, tol):
     assert np.array_equal(out[0], coords[0])
     assert np.array_equal(out[-1], coords[-1])
     assert len(out) <= len(coords)
+
+
+# --- portable bit fragments (functions/exprs.py) vs Python ground truth ----
+
+from planetiler_spark.functions import exprs as X  # noqa: E402
+
+
+def _duck_val(sql):
+    import duckdb
+    return duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+
+
+@given(st.integers(0, (1 << 62) - 1), st.integers(0, (1 << 62) - 1))
+@settings(max_examples=40, deadline=None)
+def test_flip_bits_is_xor(x, mask):
+    got = _duck_val(X.flip_bits(f"CAST({x} AS BIGINT)", mask))
+    assert got == x ^ mask
+
+
+@given(st.integers(0, (1 << 62) - 1), st.integers(0, 3))
+@settings(max_examples=40, deadline=None)
+def test_hash_band_extracts_16_bits(x, band):
+    got = _duck_val(X.hash_band(f"CAST({x} AS BIGINT)", band))
+    assert got == (x >> (16 * band)) & 0xFFFF
+
+
+@given(st.integers(0, (1 << 62) - 1), st.integers(0, (1 << 62) - 1))
+@settings(max_examples=40, deadline=None)
+def test_hamming62_is_popcount_xor(a, b):
+    got = _duck_val(X.hamming62(f"CAST({a} AS BIGINT)", f"CAST({b} AS BIGINT)",
+                                "duckdb"))
+    assert got == bin(a ^ b).count("1")
+
+
+# --- from-scratch LZ4 block codec roundtrip -------------------------------
+
+from planetiler_spark.kernels import lz4 as lz  # noqa: E402
+
+
+@given(st.binary(max_size=6000))
+@settings(max_examples=60, deadline=None)
+def test_lz4_roundtrip_property(data):
+    assert lz.decompress_block(lz.compress_block(data), len(data)) == data
