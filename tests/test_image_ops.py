@@ -102,3 +102,47 @@ def test_sample_frames_plumbing(spark):
     # real codecs honestly absent: anything but the FVID container raises
     with pytest.raises(NotImplementedError):
         io_ops._decode_fake_video(b"\x00\x01realvideo")
+
+
+def test_real_phash_near_dup_end_to_end(spark):
+    """The full image near-dup pipeline on REAL bytes: decode -> pHash ->
+    16-bit band equi-join -> Hamming refine. Planted perturbations (uniform
+    brightness shift, re-encoded) must pair with their originals; unrelated
+    noise images must not."""
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(12):
+        px = src._pixels(i, 64, 64)
+        rows.append((f"orig{i:02d}", ik.encode_png(px), "png"))
+        if i < 6:  # plant a brightness-shifted near-duplicate
+            pert = np.clip(px.astype(int) + 6, 0, 255).astype(np.uint8)
+            rows.append((f"dup{i:02d}", ik.encode_png(pert), "png"))
+    for j in range(6):  # unrelated noise
+        noise = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        rows.append((f"noise{j:02d}", ik.encode_png(noise), "png"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from planetiler_spark.functions import exprs as X
+
+    feats = io_ops.extract_features(df).select(
+        "image_id", F.expr("phash64 & 9223372036854775807").alias("ph"))
+    bands = feats.select("image_id", "ph", F.posexplode(F.array(
+        *[F.expr(X.hash_band("ph", b)) for b in range(4)])).alias("band", "bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.expr(X.hamming62("ph_a", "ph_b", "spark"))
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col("a.image_id") < F.col("b.image_id")))
+             .select(F.col("a.image_id").alias("id_a"),
+                     F.col("b.image_id").alias("id_b"),
+                     F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"))
+             .filter(ham <= 8).select("id_a", "id_b").distinct().collect())
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs}
+    want = {(f"dup{i:02d}", f"orig{i:02d}") for i in range(6)}
+    # every planted duplicate is recalled
+    assert want <= got
+    # and no noise image pairs with anything
+    assert not any("noise" in x for p in got for x in p)
