@@ -28,9 +28,12 @@ map-side partial thin retains a superset of every global label-grid top-K
 within its own partition regardless of how rows were batched).
 
 Scale shape: work per batch is O(new rows) render + O(features in affected
-buckets) re-encode; raising n_buckets shrinks the re-encode amplification
-(at 10^12 rows you'd bucket by e.g. pmod(tile_id, 4096) so a city-sized
-batch rewrites ~city-sized state, never the planet).
+buckets) re-encode, and buckets are SPATIAL (zoom-4 ancestor cells — see
+_bucket), so one point's whole pyramid lives in one bucket and a
+geographically-small batch touches few buckets: a city-sized batch rewrites
+~city-sized state, never the planet (test: 5 new images touch <= 6 of 64
+buckets while the bulk load touches most). Raise n_buckets (and the anchor
+zoom) to shrink amplification further at planet scale.
 """
 
 from __future__ import annotations
@@ -43,8 +46,24 @@ from pyspark.sql import functions as F
 from ..operators import tile_pipeline as tp
 
 
-def _bucket(col: str, n_buckets: int):
-    return F.pmod(F.col(col), F.lit(n_buckets)).cast("int")
+def _bucket(n_buckets: int):
+    """SPATIAL bucket from (tile_id, zoom): tiles at zoom >= 4 bucket by their
+    zoom-4 ancestor cell, so ONE point's whole deep pyramid lands in ONE
+    bucket and a geographically-small micro-batch touches few buckets (a
+    plain pmod(tile_id) would scatter each pyramid across every bucket and
+    force a full rewrite per batch). The 85 zoom 0-3 overview tiles share
+    bucket 0 — tiny, rewritten every batch by design. Derived from the TMS
+    layout tile_id = start(z) + x*2^z + (2^z-1-y); all arithmetic stays well
+    under 2^53 so the float divisions are exact."""
+    p = "(tile_id - CAST(round((power(4.0, zoom) - 1) / 3) AS BIGINT))"
+    x = f"CAST(floor({p} / power(2.0, zoom)) AS BIGINT)"
+    iy = f"({p} - {x} * CAST(power(2.0, zoom) AS BIGINT))"
+    y = f"(CAST(power(2.0, zoom) AS BIGINT) - 1 - {iy})"
+    xa = f"CAST(floor({x} / power(2.0, zoom - 4)) AS BIGINT)"
+    ya = f"CAST(floor({y} / power(2.0, zoom - 4)) AS BIGINT)"
+    return F.expr(
+        f"CASE WHEN zoom < 4 THEN 0 ELSE "
+        f"1 + pmod({xa} * 16 + {ya}, {n_buckets - 1}) END").cast("int")
 
 
 def apply_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
@@ -57,7 +76,7 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
 
     feats = (tp.render_features(batch_df, min_zoom, max_zoom,
                                 thin_limit=thin_limit)
-             .withColumn("bucket", _bucket("tile_id", n_buckets)))
+             .withColumn("bucket", _bucket(n_buckets)))
     # idempotent append: the batch's own directory, overwritten on replay
     (feats.write.partitionBy("bucket").mode("overwrite")
      .parquet(os.path.join(feat_root, f"batch={batch_id}")))
@@ -76,7 +95,7 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
            .filter(F.col("bucket").isin([int(b) for b in affected])))
     tiles = tp.encode_vector_tiles(log.drop("batch", "bucket"),
                                    thin_limit=thin_limit)
-    tiles = tiles.withColumn("bucket", _bucket("tile_id", n_buckets))
+    tiles = tiles.withColumn("bucket", _bucket(n_buckets))
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

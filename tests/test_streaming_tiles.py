@@ -77,3 +77,21 @@ def test_foreachbatch_stream_equals_batch(spark, tmp_path):
     batches = [d for d in os.listdir(os.path.join(out, "features"))
                if d.startswith("batch=")]
     assert len(batches) >= 2
+
+
+def test_small_batch_touches_few_buckets(spark, tmp_path):
+    """The scale property that makes incremental maintenance worth it: a tiny
+    micro-batch must re-encode only the buckets it touches, not the world.
+    (At planet scale: a city-sized batch rewrites city-sized state.)"""
+    out = str(tmp_path / "inc")
+    buckets = 64
+    big, tiny = _slices(spark, [(0, 595), (595, N)])  # 595 vs 5 images
+    affected_big = st.apply_batch(spark, big, 0, out, 0, ZMAX, buckets)
+    affected_tiny = st.apply_batch(spark, tiny, 1, out, 0, ZMAX, buckets)
+    # spatial bucketing: 5 points' pyramids land in <= 5 spatial buckets
+    # (plus the shared z0-3 overview bucket), while the bulk load hit most
+    assert len(affected_tiny) <= 6
+    assert len(affected_big) > 4 * len(affected_tiny)
+    # and correctness still holds after the uneven batches
+    got = _tile_map(st.read_tiles(spark, out).collect())
+    assert got == _expected(spark)
