@@ -415,8 +415,12 @@ DEFAULT_QUALITY = 98  # the synthetic sawtooth fixtures (sources/images._pixels)
 # Natural images clear 40dB at far lower quality.
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes (4:4:4, deterministic)."""
+def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes (4:4:4, deterministic).
+    restart_interval > 0 emits a DRI segment and an RSTn marker every that
+    many MCUs (DC prediction resets per interval, byte-aligned 1-fill before
+    each marker — T.81 F.1.2.3/E.1.4)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
     qlum, qchr = scaled_quant_tables(quality)
@@ -427,23 +431,37 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
     ac_l = build_huffman(AC_LUM_BITS, AC_LUM_VALS)
     ac_c = build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    streams = []
+    zzs = []
+    tabs = []
     for ci in range(3):
         qt = qlum if ci == 0 else qchr
-        dct_t, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-        zz = _quantized_zigzag(ycc[..., ci], qt)
-        streams.append(_component_symbols(zz, dct_t[0], dct_t[1], act[0], act[1]))
+        zzs.append(_quantized_zigzag(ycc[..., ci], qt))
+        tabs.append((dc_l, ac_l) if ci == 0 else (dc_c, ac_c))
+    nblocks = len(zzs[0])  # 4:4:4: MCU k = block k of Y, Cb, Cr
 
-    # interleave per-MCU (4:4:4: MCU k = block k of Y, Cb, Cr)
-    nblocks = len(streams[0][2]) - 1
-    parts_codes, parts_lens = [], []
-    for k in range(nblocks):
-        for ci in range(3):
-            codes, lens, starts = streams[ci]
-            s, e = starts[k], starts[k + 1]
-            parts_codes.append(codes[s:e])
-            parts_lens.append(lens[s:e])
-    data = _pack_bits(np.concatenate(parts_codes), np.concatenate(parts_lens))
+    def pack_mcus(k0: int, k1: int) -> bytes:
+        # symbolize the slice (DC prediction starts at 0 => interval reset)
+        streams = [_component_symbols(zzs[ci][k0:k1], tabs[ci][0][0],
+                                      tabs[ci][0][1], tabs[ci][1][0],
+                                      tabs[ci][1][1]) for ci in range(3)]
+        pc, pl = [], []
+        for k in range(k1 - k0):
+            for ci in range(3):
+                codes, lens, starts = streams[ci]
+                s, e = starts[k], starts[k + 1]
+                pc.append(codes[s:e])
+                pl.append(lens[s:e])
+        return _pack_bits(np.concatenate(pc), np.concatenate(pl))
+
+    if restart_interval:
+        chunks = []
+        for g, k0 in enumerate(range(0, nblocks, restart_interval)):
+            if g:
+                chunks.append(bytes([0xFF, 0xD0 + ((g - 1) % 8)]))
+            chunks.append(pack_mcus(k0, min(k0 + restart_interval, nblocks)))
+        data = b"".join(chunks)
+    else:
+        data = pack_mcus(0, nblocks)
 
     out = [b"\xFF\xD8"]  # SOI
     out.append(_seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"))
@@ -459,6 +477,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
     out.append(_seg(0xC4, _dht_payload(0x10, AC_LUM_BITS, AC_LUM_VALS)))
     out.append(_seg(0xC4, _dht_payload(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)))
     out.append(_seg(0xC4, _dht_payload(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)))
+    if restart_interval:
+        out.append(_seg(0xDD, struct.pack(">H", restart_interval)))
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
     out.append(_seg(0xDA, sos))
     out.append(data)
@@ -506,13 +526,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     Self-describing decode: quantization and Huffman tables are read from the
     stream. Generic interleaved MCU layout with per-component h/v sampling
     factors; subsampled chroma is upsampled by pixel replication. Restart
-    markers and progressive/arithmetic modes are not supported (the encoder
-    never emits them; raises on encounter)."""
+    intervals (DRI + RSTn) are supported — the entropy stream splits on the
+    markers (unambiguous: true 0xFF data bytes are stuffed), each segment
+    decodes with fresh DC predictions. Progressive/arithmetic modes raise."""
     qtbls: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], list] = {}  # fused (len<<8|sym) peek LUTs
     frame = None
     scan_comps = None
     data = None
+    dri = 0
     for marker, payload in _parse_segments(bytes(buf)):
         if marker == 0xDB:
             p = 0
@@ -545,8 +567,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xDD:
-            raise _JpegError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (dri,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
             ns = payload[0]
             scan_comps = []
@@ -558,24 +580,41 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     if frame is None or scan_comps is None or data is None:
         raise _JpegError("missing SOF0/SOS/entropy data")
 
-    # ---- de-stuff and build the 16-bit sliding peek windows ----
-    arr = np.frombuffer(data, dtype=np.uint8)
-    drop = np.zeros(len(arr), dtype=bool)
-    ff = np.nonzero(arr == 0xFF)[0]
-    nxt = ff + 1
-    nxt = nxt[nxt < len(arr)]
-    drop[nxt[arr[nxt] == 0x00]] = True
-    arr = arr[~drop]
-    # O(1) 40-bit peek at any bit offset from 5 consecutive bytes (pad with
-    # 1-bits so peeks past the end are defined, like the spec's 1-fill).
-    # 40 bits cover a worst-case huffman code (16) + amplitude (15) + intra-
-    # byte offset (7) in ONE window, so each coefficient needs a single list
-    # index instead of two. Materialized as a Python list: the symbol loop
-    # below is the only sequential part of the decoder and list indexing
-    # beats numpy scalar indexing ~5x there.
-    by = np.concatenate([arr, np.full(8, 0xFF, dtype=np.uint8)]).astype(np.int64)
-    b40l = ((by[:-4] << 32) | (by[1:-3] << 24) | (by[2:-2] << 16)
-            | (by[3:-1] << 8) | by[4:]).tolist()
+    # ---- entropy stream -> per-restart-segment 40-bit peek windows ----
+    # RSTn markers (FF D0-D7) are unambiguous inside entropy data (true 0xFF
+    # data bytes are always stuffed as FF 00), so splitting on them first and
+    # de-stuffing each segment separately is exact.
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if dri:
+        marks = np.nonzero((raw[:-1] == 0xFF) & (raw[1:] >= 0xD0)
+                           & (raw[1:] <= 0xD7))[0]
+        seg_arrays = []
+        prev = 0
+        for i in marks:
+            seg_arrays.append(raw[prev:int(i)])
+            prev = int(i) + 2
+        seg_arrays.append(raw[prev:])
+    else:
+        seg_arrays = [raw]
+
+    def _bitstream(seg: np.ndarray):
+        # O(1) 40-bit peek at any bit offset from 5 consecutive bytes (pad
+        # with 1-bits so peeks past the end are defined, like the spec's
+        # 1-fill). 40 bits cover a worst-case huffman code (16) + amplitude
+        # (15) + intra-byte offset (7) in ONE window, so each coefficient
+        # needs a single list index instead of two. Materialized as a Python
+        # list: the symbol loop below is the only sequential part of the
+        # decoder and list indexing beats numpy scalar indexing ~5x there.
+        drop = np.zeros(len(seg), dtype=bool)
+        ff = np.nonzero(seg == 0xFF)[0]
+        nxt = ff + 1
+        nxt = nxt[nxt < len(seg)]
+        drop[nxt[seg[nxt] == 0x00]] = True
+        seg = seg[~drop]
+        by = np.concatenate([seg, np.full(8, 0xFF, dtype=np.uint8)]).astype(np.int64)
+        b40 = ((by[:-4] << 32) | (by[1:-3] << 24) | (by[2:-2] << 16)
+               | (by[3:-1] << 8) | by[4:]).tolist()
+        return b40, 8 * len(seg)
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -601,9 +640,26 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     ac_col = [[] for _ in range(nc)]
     ac_val = [[] for _ in range(nc)]
     nseen = [0] * nc
-    bitpos = 0
-    total_bits = 8 * len(arr)
-    for _ in range(nmcu):
+    seg_starts = [[] for _ in range(nc)]  # DC prediction reset points
+
+    if dri:
+        mcu_plan = []
+        left = nmcu
+        for _seg in seg_arrays:
+            take = min(dri, left)
+            mcu_plan.append(take)
+            left -= take
+        if left > 0:
+            raise _JpegError("restart segments do not cover all MCUs")
+    else:
+        mcu_plan = [nmcu]
+
+    for seg_arr, n_this in zip(seg_arrays, mcu_plan):
+      b40l, total_bits = _bitstream(seg_arr)
+      bitpos = 0
+      for ci in range(nc):
+          seg_starts[ci].append(len(dcdiffs[ci]))
+      for _ in range(n_this):
         for ci, dc_lut, ac_lut in order:
             if bitpos >= total_bits:
                 raise _JpegError("entropy data exhausted")
@@ -663,7 +719,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     ncoef = []
     for ci in range(nc):
         zz = np.zeros((nseen[ci], 64), dtype=np.int32)
-        zz[:, 0] = np.cumsum(np.asarray(dcdiffs[ci], dtype=np.int64)).astype(np.int32)
+        # DC prediction: cumsum, restarting at every restart-segment boundary
+        d = np.asarray(dcdiffs[ci], dtype=np.int64)
+        acc = np.empty(len(d), dtype=np.int64)
+        bounds = seg_starts[ci] + [len(d)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            acc[s:e] = np.cumsum(d[s:e])
+        zz[:, 0] = acc.astype(np.int32)
         if ac_row[ci]:
             zz[np.asarray(ac_row[ci]), np.asarray(ac_col[ci])] = \
                 np.asarray(ac_val[ci], dtype=np.int32)

@@ -152,3 +152,21 @@ def test_grayscale_single_component_stream():
     px = np.repeat(_pixels(8, 32, 32)[:, :, :1], 3, axis=2)  # r=g=b
     out = _rt(px)
     assert ik.psnr(px, out) >= 40.0
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn support: encoding with restart markers must decode to exactly
+    the same pixels as the marker-free encoding (DC predictions reset per
+    interval; segments byte-align with 1-fill)."""
+    from planetiler_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    px = _pixels(13, 64, 64)
+    plain = decode_jpeg(encode_jpeg(px))
+    for dri in (1, 3, 7, 64, 1000):
+        b = encode_jpeg(px, restart_interval=dri)
+        assert b"\xff\xdd" in b  # DRI segment present
+        got = decode_jpeg(b)
+        assert np.array_equal(got, plain), dri
+    # markers really are in the stream for small intervals
+    b = encode_jpeg(px, restart_interval=1)
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
