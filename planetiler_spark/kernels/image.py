@@ -42,14 +42,66 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def _png_defilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters (spec §6). Row layout: 1 filter-type
+    byte + `stride` data bytes. Filters 0/1/2 vectorize (none / per-column
+    cumsum / running row sum); Average and Paeth carry a left-dependency, so
+    those (rare in our own output, common in libpng's) fall back to a per-byte
+    loop on just the rows that use them."""
+    rows = raw.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError(f"bad PNG filter type {int(ftypes.max())}")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y, 1:].astype(np.int64)
+        f = int(ftypes[y])
+        if f == 0:
+            line = cur
+        elif f == 1:      # Sub: + left
+            line = cur.reshape(-1, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+        elif f == 2:      # Up: + above
+            line = (cur + prev) & 0xFF
+        elif f == 3:      # Average: + floor((left + up) / 2)
+            line = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        else:             # Paeth predictor
+            line = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] + pred) & 0xFF
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8)
+
+
+def _unpack_bits(row: np.ndarray, depth: int, w: int) -> np.ndarray:
+    """Depth 1/2/4 sample unpacking (palette / grayscale), MSB first."""
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1) * depth
+    vals = (row[:, None].astype(np.int64) >> shifts[None, :]) & ((1 << depth) - 1)
+    return vals.reshape(-1)[:w]
+
+
 def decode_png(buf: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, 3) uint8. Supports RGB8 with scanline filter 0
-    (everything this engine emits); raises on other filters/color types."""
+    """PNG bytes -> (h, w, 3) uint8 RGB. Real-world coverage: all five
+    scanline filters; color types 0 (gray), 2 (RGB), 3 (palette, depths
+    1/2/4/8), 4 (gray+alpha), 6 (RGBA); alpha composites over white
+    deterministically. 16-bit and Adam7 interlace raise (rare; honest)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     off = 8
-    w = h = None
+    w = h = depth = ctype = None
     idat = []
+    plte = None
     while off < len(buf):
         (ln,) = struct.unpack_from(">I", buf, off)
         tag = buf[off + 4:off + 8]
@@ -57,16 +109,46 @@ def decode_png(buf: bytes) -> np.ndarray:
         off += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or ctype != 2 or interlace != 0:
-                raise ValueError(f"unsupported PNG (depth={depth} ctype={ctype})")
+            if interlace != 0:
+                raise ValueError("Adam7-interlaced PNG unsupported")
+            if depth == 16:
+                raise ValueError("16-bit PNG unsupported")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            if depth != 8 and not (ctype in (0, 3) and depth in (1, 2, 4)):
+                raise ValueError(f"unsupported PNG depth {depth} for ctype {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8).reshape(h, 1 + w * 3)
-    if not (raw[:, 0] == 0).all():
-        raise ValueError("unsupported PNG scanline filter (only 0 emitted by this engine)")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    data = _png_defilter(raw, h, stride, bpp)
+    if depth < 8:
+        samples = np.stack([_unpack_bits(data[y], depth, w) for y in range(h)])
+        if ctype == 3:
+            px = plte[samples]
+        else:  # low-depth grayscale: scale to full 8-bit range
+            g = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            px = np.repeat(g[:, :, None], 3, axis=2)
+        return px.astype(np.uint8)
+    data = data.reshape(h, w, channels)
+    if ctype == 2:
+        return data.copy()
+    if ctype == 3:
+        return plte[data[:, :, 0]].astype(np.uint8)
+    if ctype == 0:
+        return np.repeat(data, 3, axis=2).copy()
+    # alpha (4: gray+alpha, 6: RGBA): composite over white, round-half-up
+    color = data[:, :, :-1].astype(np.int64)
+    if ctype == 4:
+        color = np.repeat(color, 3, axis=2)
+    a = data[:, :, -1:].astype(np.int64)
+    return ((color * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
 
 
 def encode_fake_jpeg(pixels: np.ndarray) -> bytes:
