@@ -35,6 +35,9 @@ if _ROOT not in sys.path:
 def main(argv=None):
     ap = argparse.ArgumentParser(description="planetiler_spark tileset job")
     ap.add_argument("--n", type=int, default=2000, help="images rows to synthesize")
+    ap.add_argument("--osm", default=None, metavar="PBF",
+                    help="run the OSM flow instead: PBF -> profile -> tiles "
+                         "-> <out>/tiles.mbtiles (the reference's headline job)")
     ap.add_argument("--out", required=True, help="output dir (tiles parquet + status)")
     ap.add_argument("--minzoom", type=int, default=0)
     ap.add_argument("--maxzoom", type=int, default=10)
@@ -72,6 +75,23 @@ def main(argv=None):
     from planetiler_spark.operators import progress as pg
     from planetiler_spark.operators import tile_pipeline as tp
     from planetiler_spark.sources import images as src
+
+    if args.osm:
+        from planetiler_spark.plans import osm_pipeline as op
+        from planetiler_spark.sources import archives as ar
+        t0 = time.time()
+        os.makedirs(args.out, exist_ok=True)
+        tiles = op.osm_tileset(spark, args.osm, args.minzoom, args.maxzoom,
+                               partitions=sp).cache()
+        mb = os.path.join(args.out, "tiles.mbtiles")
+        ar.write_mbtiles(tiles, mb)
+        agg = tiles.agg(F.count("*").alias("nt"),
+                        F.sum("n_features").alias("nf")).collect()[0]
+        print(json.dumps({"osm": args.osm, "n_tiles": int(agg.nt),
+                          "n_features": int(agg.nf or 0), "archive": mb,
+                          "wall_s": round(time.time() - t0, 2)}))
+        spark.stop()
+        return
 
     t0 = time.time()
     images = src.images_df(spark, args.n, partitions=max(cpus * 2, 8),

@@ -1,0 +1,65 @@
+"""End-to-end OSM -> vector tiles -> MBTiles on the reference's own monaco
+fixture (plans/osm_pipeline.py) — the reference's headline flow."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from planetiler_spark.kernels import mvt
+from planetiler_spark.plans import osm_pipeline as op
+from planetiler_spark.sources import archives as ar
+
+MONACO = "/root/reference/planetiler-core/src/test/resources/monaco-latest.osm.pbf"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(MONACO),
+                                reason="reference checkout absent")
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return op.osm_tileset(spark, MONACO, 13, 14).cache()
+
+
+def test_feature_matching_counts(spark):
+    feats = op.osm_features(spark, MONACO)
+    counts = {(r.layer, r.kind): r["count"] for r in
+              feats.groupBy("layer", "kind").count().collect()}
+    # stable facts of the frozen monaco fixture under the default profile
+    assert counts[("building", "polygon")] == 1183
+    assert counts[("road", "line")] == 2379
+    assert counts[("poi", "point")] == 621
+    assert counts[("water", "polygon")] == 18
+    # multipolygon relations matched into polygon layers
+    assert any(k[1] == "multipolygon" for k in counts), counts
+
+
+def test_tiles_decode_with_all_layers(tiles):
+    rows = tiles.collect()
+    assert len(rows) >= 6  # monaco spans several z13/z14 tiles
+    busiest = max(rows, key=lambda r: r.n_features)
+    assert busiest.zoom == 14
+    d = mvt.decode_tile(bytes(busiest.tile_bytes))
+    assert {"building", "road", "poi", "water"} <= set(d)
+    # attrs survive: every poi carries its amenity tag, roads their highway
+    for f in d["poi"][:20]:
+        assert "amenity" in f["attrs"]
+    for f in d["road"][:20]:
+        assert "highway" in f["attrs"]
+    # total features monotone down the pyramid
+    nf = {r.zoom: 0 for r in rows}
+    for r in rows:
+        nf[r.zoom] += r.n_features
+    assert nf[14] >= nf[13]
+
+
+def test_mbtiles_archive_roundtrip(spark, tiles, tmp_path):
+    out = str(tmp_path / "monaco.mbtiles")
+    ar.write_mbtiles(tiles, out)
+    back = ar.read_mbtiles(out)
+    want = {(r.zoom, r.x, r.y): bytes(r.tile_bytes) for r in tiles.collect()}
+    assert len(back) == len(want)
+    # read_mbtiles returns {(z, x, y): bytes}; blobs must match exactly
+    assert back == want
