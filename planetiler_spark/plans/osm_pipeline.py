@@ -82,11 +82,16 @@ def osm_features(spark: SparkSession, pbf: str, profile=DEFAULT_PROFILE) -> Data
                                         F.element_at("refs", -1)).alias("closed")) \
                  .join(geoms.withColumnRenamed("way_id", "id"), "id")
 
-    def rows(src_df, layer, kind, minzoom, lons_col, lats_col):
+    def rows(src_df, layer, kind, minzoom, attr_keys, lons_col, lats_col):
+        pairs = []
+        for k in attr_keys:
+            pairs.extend([F.lit(k), F.col("tags")[k]])
         return src_df.select(
             F.col("id").alias("fid"), F.lit(layer).alias("layer"),
-            F.lit(kind).alias("kind"), F.lit(minzoom).alias("minzoom"),
-            "tags", lons_col.alias("lons"), lats_col.alias("lats"))
+            F.lit(kind).alias("kind"), F.lit(minzoom).alias("min_zoom"),
+            F.lit(14).alias("max_zoom"),
+            F.create_map(*pairs).alias("attrs"),
+            lons_col.alias("lons"), lats_col.alias("lats"))
 
     # multipolygon relations: members joined to way coords, grouped per rel
     mp = (rels.filter(F.col("tags")["type"] == "multipolygon")
@@ -103,20 +108,20 @@ def osm_features(spark: SparkSession, pbf: str, profile=DEFAULT_PROFILE) -> Data
           .withColumnRenamed("rid", "id"))
 
     out = []
-    for layer, key, vals, geom, minzoom, _attr_keys in profile:
+    for layer, key, vals, geom, minzoom, attr_keys in profile:
         m = _match_col(key, vals)
         if geom == "point":
-            out.append(rows(nodes.filter(m), layer, "point", minzoom,
+            out.append(rows(nodes.filter(m), layer, "point", minzoom, attr_keys,
                             F.array(F.array("lon")), F.array(F.array("lat"))))
         elif geom == "line":
-            out.append(rows(ways_g.filter(m), layer, "line", minzoom,
+            out.append(rows(ways_g.filter(m), layer, "line", minzoom, attr_keys,
                             F.array("lons"), F.array("lats")))
         else:
             out.append(rows(ways_g.filter(m & F.col("closed")), layer,
-                            "polygon", minzoom,
+                            "polygon", minzoom, attr_keys,
                             F.array("lons"), F.array("lats")))
             out.append(rows(mp.filter(m), layer, "multipolygon", minzoom,
-                            F.col("lons"), F.col("lats")))
+                            attr_keys, F.col("lons"), F.col("lats")))
     feats = out[0]
     for o in out[1:]:
         feats = feats.unionByName(o)
@@ -129,11 +134,13 @@ def _rings_world(lons, lats) -> list[np.ndarray]:
     return np.stack([wx, wy], axis=1)
 
 
-def render_osm_features(feats: DataFrame, profile=DEFAULT_PROFILE,
-                        min_zoom: int = 0, max_zoom: int = 14) -> DataFrame:
+def render_osm_features(feats: DataFrame, min_zoom: int = 0,
+                        max_zoom: int = 14) -> DataFrame:
     """Matched features -> per-(tile, zoom) fragment rows in the sorted-KV
-    model (ftype = MVT geometry type; fill rows for polygon interiors)."""
-    attr_keys = {layer: ak for layer, _k, _v, _g, _mz, ak in profile}
+    model (ftype = MVT geometry type; fill rows for polygon interiors).
+    Consumes the unified matched-feature schema (layer, kind, min_zoom,
+    max_zoom, attrs map, nested lons/lats) produced by either osm_features
+    (built-in rules) or osm_features_yaml (a ConfiguredProfile schema)."""
     layer_idx = dict(_LAYER_IDX)
 
     def gen(batches):
@@ -157,21 +164,23 @@ def render_osm_features(feats: DataFrame, profile=DEFAULT_PROFILE,
                 rows["attrs"].append(attrs)
 
             for r in pdf.itertuples(index=False):
-                attrs = _attrs_json(dict(r.tags),
-                                    attr_keys.get(r.layer, ("name",)))
-                z0 = max(min_zoom, int(r.minzoom))
+                attrs = json.dumps(
+                    {k: v for k, v in dict(r.attrs).items() if v is not None},
+                    sort_keys=True)
+                z0 = max(min_zoom, int(r.min_zoom))
+                z1 = min(max_zoom, int(r.max_zoom))
                 if r.kind == "point":
                     wx = tm.get_world_x(np.asarray(r.lons[0]))
                     wy = tm.get_world_y(np.asarray(r.lats[0]))
-                    for z in range(z0, max_zoom + 1):
+                    for z in range(z0, z1 + 1):
                         idx, tx, ty, ex, ey = R.slice_points(wx, wy, z)
                         for i in range(len(tx)):
                             emit(z, int(tx[i]), int(ty[i]), r.layer, r.fid, 1,
                                  False, [np.array([[int(ex[i]), int(ey[i])]])],
                                  attrs)
-                elif r.kind == "line":
+                elif r.kind in ("line", "closed_line"):
                     coords = _rings_world(r.lons[0], r.lats[0])
-                    for z in range(z0, max_zoom + 1):
+                    for z in range(z0, z1 + 1):
                         for tx, ty, parts in R.slice_line(coords, z):
                             emit(z, int(tx), int(ty), r.layer, r.fid, 2, False,
                                  parts, attrs)
@@ -183,7 +192,7 @@ def render_osm_features(feats: DataFrame, profile=DEFAULT_PROFILE,
                     else:
                         polys = [[_rings_world(r.lons[0], r.lats[0])]]
                     for rings in polys:
-                        for z in range(z0, max_zoom + 1):
+                        for z in range(z0, z1 + 1):
                             for tx, ty, kind, parts in R.slice_polygon(rings, z):
                                 emit(z, int(tx), int(ty), r.layer, r.fid, 3,
                                      kind == "fill", parts, attrs)
@@ -250,9 +259,76 @@ def encode_osm_tiles(frags: DataFrame, partitions: int | None = None) -> DataFra
     return shuffled.mapInPandas(encode, TILES_SCHEMA)
 
 
+def osm_features_yaml(spark: SparkSession, pbf: str, schema) -> DataFrame:
+    """Drive the OSM flow from a parsed ConfiguredProfile schema
+    (plans/profile.parse_schema): candidates with raw tags -> apply_profile
+    per geometry requirement (a `polygon` rule only sees closed ways and
+    multipolygon relations, per GeometryType.featureTest) -> the same
+    unified matched-feature schema render_osm_features consumes."""
+    from . import profile as prof
+
+    cands = _osm_candidates(spark, pbf)
+    # a closed way is a candidate for BOTH line and polygon rules (the
+    # reference's canBeLine/canBePolygon both admit closed ways); `any`
+    # rules take closed ways as lines only, so one way never matches twice
+    kinds = {"point": ("point",), "line": ("line", "closed_line"),
+             "polygon": ("polygon", "multipolygon"),
+             "any": ("point", "line", "closed_line", "multipolygon")}
+    parts = []
+    for rule in schema.rules:
+        req = kinds.get(rule.geometry or "any", kinds["any"])
+        sub = cands.filter(F.col("kind").isin(*req))
+        parts.append(prof.apply_profile(sub, [rule],
+                                        mappings=schema.tag_mappings))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("fid", "layer", "kind", "min_zoom", "max_zoom",
+                      "attrs", "lons", "lats")
+
+
+def _osm_candidates(spark: SparkSession, pbf: str) -> DataFrame:
+    ents = osrc.read_osm_pbf(spark, pbf).cache()
+    nodes = ents.filter("etype = 0").filter(F.size("tags") > 0)
+    ways = ents.filter("etype = 1")
+    geoms = osrc.way_geometries(ents)
+    ways_g = ways.select("id", "tags", (F.element_at("refs", 1) ==
+                                        F.element_at("refs", -1)).alias("closed")) \
+                 .join(geoms.withColumnRenamed("way_id", "id"), "id")
+    mp = (ents.filter("etype = 2")
+          .filter(F.col("tags")["type"] == "multipolygon")
+          .select(F.col("id").alias("rid"), "tags",
+                  F.explode(F.arrays_zip(F.col("member_ids").alias("mid"),
+                                         F.col("member_types").alias("mtype"))).alias("m"))
+          .filter("m.mtype = 1")
+          .select("rid", "tags", F.col("m.mid").alias("id"))
+          .join(geoms.withColumnRenamed("way_id", "id"), "id")
+          .groupBy("rid")
+          .agg(F.first("tags").alias("tags"),
+               F.collect_list("lons").alias("lons"),
+               F.collect_list("lats").alias("lats")))
+
+    def cand(df, kind, lons_col, lats_col):
+        return df.select(F.col("id").alias("fid"), F.lit(kind).alias("kind"),
+                         "tags", lons_col.alias("lons"), lats_col.alias("lats"))
+
+    return (cand(nodes, "point", F.array(F.array("lon")), F.array(F.array("lat")))
+            .unionByName(cand(ways_g.filter(~F.col("closed")), "line",
+                              F.array("lons"), F.array("lats")))
+            .unionByName(cand(ways_g.filter(F.col("closed")), "closed_line",
+                              F.array("lons"), F.array("lats")))
+            .unionByName(cand(ways_g.filter(F.col("closed")), "polygon",
+                              F.array("lons"), F.array("lats")))
+            .unionByName(cand(mp.withColumnRenamed("rid", "id"), "multipolygon",
+                              F.col("lons"), F.col("lats"))))
+
+
 def osm_tileset(spark: SparkSession, pbf: str, min_zoom: int = 0,
                 max_zoom: int = 14, profile=DEFAULT_PROFILE,
-                partitions: int | None = None) -> DataFrame:
-    feats = osm_features(spark, pbf, profile)
-    frags = render_osm_features(feats, profile, min_zoom, max_zoom)
+                schema=None, partitions: int | None = None) -> DataFrame:
+    if schema is not None:
+        feats = osm_features_yaml(spark, pbf, schema)
+    else:
+        feats = osm_features(spark, pbf, profile)
+    frags = render_osm_features(feats, min_zoom, max_zoom)
     return encode_osm_tiles(frags, partitions)

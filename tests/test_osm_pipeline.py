@@ -63,3 +63,55 @@ def test_mbtiles_archive_roundtrip(spark, tiles, tmp_path):
     assert len(back) == len(want)
     # read_mbtiles returns {(z, x, y): bytes}; blobs must match exactly
     assert back == want
+
+
+YAML_SCHEMA = """
+schema_name: test
+layers:
+- id: footways
+  features:
+  - source: osm
+    geometry: line
+    min_zoom: 12
+    include_when:
+      highway: footway
+    attributes:
+    - key: surface
+      tag_value: surface
+- id: parks
+  features:
+  - source: osm
+    geometry: polygon
+    min_zoom: 10
+    include_when:
+      leisure:
+      - park
+      - garden
+    attributes:
+    - key: kind
+      tag_value: leisure
+"""
+
+
+def test_yaml_schema_drives_the_osm_flow(spark):
+    """A ConfiguredProfile YAML schema (plans/profile.py) can drive the whole
+    OSM flow: closed ways double as line candidates, leisure multipolygon
+    relations land in the polygon layer, and schema attributes reach the
+    tiles."""
+    from planetiler_spark.plans import profile as prof
+
+    schema = prof.parse_schema(YAML_SCHEMA)
+    feats = op.osm_features_yaml(spark, MONACO, schema)
+    counts = {(r.layer, r.kind): r["count"] for r in
+              feats.groupBy("layer", "kind").count().collect()}
+    assert counts[("footways", "line")] == 1017
+    assert counts[("footways", "closed_line")] == 11
+    assert counts[("parks", "polygon")] == 42
+    assert counts[("parks", "multipolygon")] == 3
+
+    tiles = op.osm_tileset(spark, MONACO, 13, 14, schema=schema)
+    busiest = max(tiles.collect(), key=lambda r: r.n_features)
+    d = mvt.decode_tile(bytes(busiest.tile_bytes))
+    assert set(d) <= {"footways", "parks"} and d
+    kinds = {f["attrs"].get("kind") for f in d.get("parks", [])}
+    assert kinds <= {"park", "garden", None}
