@@ -2417,8 +2417,20 @@ def osm_pbf_read(spark, sf_dir):
         F.sum(F.size("lons")).cast("long").alias("id_checksum"),
         F.lit(0).cast("long").alias("n_tags"),
         F.min("way_id").alias("first_id"), F.max("way_id").alias("last_id"))
+    # ...and the full headline flow on top of the scan (late r3): profile
+    # match -> per-zoom render -> shuffle -> multi-layer MVT encode; one
+    # summary row per zoom at the detail levels (plans/osm_pipeline.py)
+    from ..plans import osm_pipeline as op
+    tiles = op.osm_tileset(spark, path, 13, 14)
+    per_zoom = tiles.groupBy("zoom").agg(
+        F.count("*").alias("n"),
+        F.sum("n_features").cast("long").alias("id_checksum"),
+        F.sum(F.length("tile_bytes")).cast("long").alias("n_tags"),
+        F.min("tile_id").alias("first_id"), F.max("tile_id").alias("last_id"))
     return per_type.withColumn("etype", F.col("etype").cast("int")) \
-        .unionByName(geoms.withColumn("etype", F.lit(99)))
+        .unionByName(geoms.withColumn("etype", F.lit(99))) \
+        .unionByName(per_zoom.withColumn("etype", F.col("zoom") + 100)
+                     .drop("zoom"))
 
 
 @query("streaming_ops")  # rows-only: Structured Streaming surfaces
