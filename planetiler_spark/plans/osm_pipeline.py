@@ -206,7 +206,13 @@ TILES_SCHEMA = ("tile_id long, zoom int, x int, y int, n_features long, "
 
 
 def encode_osm_tiles(frags: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Shuffle on the sort key, then consecutive-run multi-layer MVT encode."""
+    """Shuffle on the sort key, then consecutive-run multi-layer MVT encode.
+
+    Encode uses LayerBuilder per feature — right for mixed-geometry,
+    arbitrary-attr tiles at city/country scale. At planet scale the hot
+    layers should route through the vectorized stream encoders instead
+    (mvt.PointTileStream / polygon_geom_stream, as the images pipeline
+    does); the plumbing here (same sorted-KV shuffle) is unchanged."""
     import hashlib
     p = int(partitions or frags.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     shuffled = (frags.repartition(p, "tile_id")
