@@ -205,8 +205,16 @@ TILES_SCHEMA = ("tile_id long, zoom int, x int, y int, n_features long, "
                 "tile_bytes binary, content_hash string")
 
 
-def encode_osm_tiles(frags: DataFrame, partitions: int | None = None) -> DataFrame:
+def encode_osm_tiles(frags: DataFrame, partitions: int | None = None,
+                     merge_lines: bool = True) -> DataFrame:
     """Shuffle on the sort key, then consecutive-run multi-layer MVT encode.
+
+    merge_lines applies the reference's per-tile line post-process
+    (FeatureMerge.mergeLineStrings): within a tile, line pieces that share a
+    layer AND attrs merge into maximal strokes (kernels/lines.py
+    LoopLineMerger analog, endpoint snap at the integer extent grid), one
+    multi-linestring feature per attr group — road networks shrink to a few
+    strokes per tile instead of hundreds of segments.
 
     Encode uses LayerBuilder per feature — right for mixed-geometry,
     arbitrary-attr tiles at city/country scale. At planet scale the hot
@@ -223,11 +231,26 @@ def encode_osm_tiles(frags: DataFrame, partitions: int | None = None) -> DataFra
         cur_tile = None
         layers: dict[str, mvt.LayerBuilder] = {}
         nfeat = 0
+        line_groups: dict[tuple, list] = {}  # (layer, attrs) -> [fid0, parts]
 
         def flush():
-            nonlocal layers, nfeat
+            nonlocal layers, nfeat, line_groups
             if cur_tile is None:
                 return None
+            for (layer, attrs_s), (fid0, parts) in line_groups.items():
+                merged = lk.merge_line_strings(
+                    [np.asarray(pp, dtype=np.float64) for pp in parts],
+                    grid=1.0)
+                if not merged:
+                    continue
+                lb = layers.get(layer)
+                if lb is None:
+                    lb = layers[layer] = mvt.LayerBuilder(layer)
+                cmds = mvt.encode_geometry(
+                    2, [np.rint(m).astype(np.int64) for m in merged])
+                lb.add_feature(fid0, 2, cmds, json.loads(attrs_s))
+                nfeat += 1
+            line_groups = {}
             blob = mvt.encode_tile(list(layers.values()))
             x, y, z = tm.tile_decode(np.int64(cur_tile))
             row = (int(cur_tile), int(z), int(x), int(y), nfeat, blob,
@@ -244,6 +267,14 @@ def encode_osm_tiles(frags: DataFrame, partitions: int | None = None) -> DataFra
                     if row:
                         out.append(row)
                     cur_tile = r.tile_id
+                if merge_lines and int(r.ftype) == 2 and not r.fill:
+                    g = line_groups.get((r.layer, r.attrs))
+                    parts = gk.unpack_parts(bytes(r.parts))
+                    if g is None:
+                        line_groups[(r.layer, r.attrs)] = [int(r.fid), parts]
+                    else:
+                        g[1].extend(parts)
+                    continue
                 lb = layers.get(r.layer)
                 if lb is None:
                     lb = layers[r.layer] = mvt.LayerBuilder(r.layer)

@@ -115,3 +115,31 @@ def test_yaml_schema_drives_the_osm_flow(spark):
     assert set(d) <= {"footways", "parks"} and d
     kinds = {f["attrs"].get("kind") for f in d.get("parks", [])}
     assert kinds <= {"park", "garden", None}
+
+
+def test_line_merge_post_process(spark):
+    """FeatureMerge.mergeLineStrings analog: per tile, road pieces sharing
+    attrs merge into maximal strokes — far fewer features, total polyline
+    length conserved (endpoint snap only; no stub/min-length dropping)."""
+    feats = op.osm_features(spark, MONACO)
+    frags = op.render_osm_features(feats, 13, 13).cache()
+    plain = op.encode_osm_tiles(frags, merge_lines=False).collect()
+    merged = op.encode_osm_tiles(frags, merge_lines=True).collect()
+
+    def road_stats(rows):
+        n = 0
+        length = 0.0
+        for r in rows:
+            d = mvt.decode_tile(bytes(r.tile_bytes))
+            for f in d.get("road", []):
+                n += 1
+                for part in f["geometry"]:
+                    pts = np.asarray(part, dtype=float)
+                    if len(pts) > 1:
+                        length += float(np.hypot(*(pts[1:] - pts[:-1]).T).sum())
+        return n, length
+
+    n0, len0 = road_stats(plain)
+    n1, len1 = road_stats(merged)
+    assert n1 < n0 / 2          # merging collapses segments into strokes
+    assert 0.95 <= len1 / len0 <= 1.05  # geometry conserved up to snapping
