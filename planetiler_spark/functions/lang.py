@@ -14,9 +14,12 @@ ThreadLocalTransliteratorTest vectors where no ICU data is required):
   - transliterate — PARTIAL Any-Latin analog (Translations.java /
     ThreadLocalTransliterator.java:18): NFKD Latin diacritic folding plus
     from-scratch Cyrillic (BGN/PCGN-style) and Greek (ELOT-style)
-    romanization tables. Han/Kana readings require the Unihan database
-    (ICU data, absent from this container) so CJK passes through unchanged
-    — the honest capability boundary, documented in COVERAGE.md.
+    romanization tables, Hepburn-style kana romaji (sequence-aware: yoon
+    digraphs, sokuon, chouonpu, n-apostrophe), and letter-wise Revised
+    Romanization for Hangul (arithmetic syllable decomposition). Han
+    readings require the Unihan database (ICU data, absent from this
+    container) so Han passes through unchanged — the honest capability
+    boundary, documented in COVERAGE.md.
 
 Spark surface: `latin_name_udf` applies the OMT name:latin fallback chain
 (name:en > name:de > transliterate(name)) batch-wise over a tags map column.
@@ -195,6 +198,128 @@ def is_valid_osm_name_tag(tag: str) -> bool:
 
 # --- partial Any-Latin transliteration ---------------------------------------
 
+# Kana -> Hepburn-style romaji. The syllabary tables and combination rules
+# (yoon digraphs, sokuon gemination, the n-apostrophe rule) are public,
+# deterministic knowledge — no ICU data needed. Long vowels are written
+# letter-wise ("toukyou", waapuro style) rather than with macrons; ICU's
+# Katakana-Latin differs in that one respect (documented divergence).
+_KANA = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "ゐ": "wi", "ゑ": "we", "を": "o",
+    "ゔ": "vu", "ゎ": "wa", "ゕ": "ka", "ゖ": "ke",
+}
+_SMALL_Y = {"ゃ": "a", "ゅ": "u", "ょ": "o"}
+_SMALL_V = {"ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o"}
+_VOWELS = frozenset("aeiou")
+
+
+def _fold_katakana(ch: str) -> str:
+    """Katakana (incl. NFKC-folded halfwidth forms) -> hiragana equivalent;
+    everything else unchanged. The two blocks are parallel at offset 0x60."""
+    cp = ord(ch)
+    if 0xFF65 <= cp <= 0xFF9F:          # halfwidth katakana
+        ch = unicodedata.normalize("NFKC", ch)
+        cp = ord(ch[0]) if ch else cp
+    if 0x30A1 <= cp <= 0x30F6:          # ァ..ヶ -> ぁ..ゖ
+        return chr(cp - 0x60) + ch[1:] if len(ch) > 1 else chr(cp - 0x60)
+    return ch
+
+
+def _romanize_kana(s: str) -> str:
+    """Hepburn-style kana romanization with yoon digraphs (きゃ kya / しゃ
+    sha / ちゃ cha / じゃ ja), small-vowel merges (ファ fa / ティ ti),
+    sokuon gemination (まっちゃ matcha — っ before ch doubles as 't'),
+    chouonpu vowel repeat (ラーメン raamen), and the Hepburn n-apostrophe
+    before vowels/y (しんや shin'ya). Non-kana characters pass through."""
+    chars = [_fold_katakana(c) for c in s]
+    flat = "".join(chars)
+    out: list[str] = []
+    sokuon = False
+    after_n = False
+    i = 0
+    n = len(flat)
+    while i < n:
+        ch = flat[i]
+        if ch == "っ":
+            sokuon = True
+            after_n = False
+            i += 1
+            continue
+        if ch == "ー":
+            # repeat the previous vowel if there is one
+            if out and out[-1] and out[-1][-1] in _VOWELS:
+                out.append(out[-1][-1])
+            else:
+                out.append(ch)
+            i += 1
+            continue
+        if ch == "ん":
+            out.append("n")
+            after_n = True
+            i += 1
+            continue
+        rom = _KANA.get(ch)
+        if rom is None:
+            out.append(ch)
+            sokuon = False
+            after_n = False
+            i += 1
+            continue
+        j = i + 1
+        if j < n and flat[j] in _SMALL_Y and rom.endswith("i"):
+            stem = rom[:-1]
+            v = _SMALL_Y[flat[j]]
+            rom = (stem + v) if (stem.endswith("h") or stem == "j") else (stem + "y" + v)
+            j += 1
+        elif j < n and flat[j] in _SMALL_V and rom and rom[-1] in _VOWELS:
+            rom = rom[:-1] + _SMALL_V[flat[j]]
+            j += 1
+        if sokuon and rom and rom[0] not in _VOWELS:
+            rom = ("t" + rom) if rom.startswith("ch") else (rom[0] + rom)
+            sokuon = False
+        if after_n and rom and (rom[0] in _VOWELS or rom[0] == "y"):
+            out.append("'")
+        after_n = False
+        out.append(rom)
+        i = j
+    return "".join(out)
+
+
+# Hangul -> Revised Romanization, letter-wise (transliteration variant).
+# Precomposed syllables U+AC00..U+D7A3 decompose arithmetically:
+# cp - 0xAC00 = (initial*21 + medial)*28 + final. The three jamo tables are
+# the published RR tables — again pure public knowledge, no data files.
+_H_INITIALS = ("g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss",
+               "", "j", "jj", "ch", "k", "t", "p", "h")
+_H_MEDIALS = ("a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa",
+              "wae", "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui", "i")
+_H_FINALS = ("", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg", "lm",
+             "lb", "ls", "lt", "lp", "lh", "m", "b", "bs", "s", "ss", "ng",
+             "j", "ch", "k", "t", "p", "h")
+
+
+def _romanize_hangul_char(ch: str) -> str:
+    cp = ord(ch)
+    if not (0xAC00 <= cp <= 0xD7A3):
+        return ch
+    idx = cp - 0xAC00
+    return (_H_INITIALS[idx // 588] + _H_MEDIALS[(idx % 588) // 28]
+            + _H_FINALS[idx % 28])
+
+
 # BGN/PCGN-flavored Cyrillic romanization (Russian base table; the shared
 # letters cover Ukrainian/Bulgarian/Serbian reasonably)
 _CYRILLIC = {
@@ -232,14 +357,17 @@ def _translit_char(ch: str) -> str:
 
 
 def transliterate(s: str | None) -> str | None:
-    """Partial Any-Latin: table romanization (Cyrillic/Greek) then NFKD
-    diacritic folding of whatever is Latin already. Scripts without a table
-    here (Han, Kana, Arabic, ...) pass through unchanged — ICU's pinyin /
-    kana readings need the Unihan data files this container doesn't have
+    """Partial Any-Latin: kana -> Hepburn romaji (sequence-aware pass),
+    Hangul -> letter-wise Revised Romanization, Cyrillic/Greek table
+    romanization, then NFKD diacritic folding of whatever is Latin already.
+    Han (and Arabic etc.) passes through unchanged — ICU's pinyin readings
+    need the Unihan data files this container doesn't have
     (ThreadLocalTransliterator.java:18 delegates to ICU4J for those)."""
     if s is None:
         return None
-    romanized = "".join(_translit_char(c) for c in unicodedata.normalize("NFC", s))
+    s = _romanize_kana(unicodedata.normalize("NFC", s))
+    s = "".join(_romanize_hangul_char(c) for c in s)
+    romanized = "".join(_translit_char(c) for c in s)
     folded = []
     for ch in unicodedata.normalize("NFKD", romanized):
         cat = unicodedata.category(ch)

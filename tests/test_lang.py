@@ -77,6 +77,39 @@ def test_transliterate_cyrillic_greek_and_folding():
     assert L.transliterate(None) is None
 
 
+def test_transliterate_kana_hepburn():
+    # plain syllabary, both kana blocks
+    assert L.transliterate("とうきょう") == "toukyou"
+    assert L.transliterate("カタカナ") == "katakana"
+    # yoon digraphs: sh/ch/j drop the y, others keep it
+    assert L.transliterate("しんじゅく") == "shinjuku"
+    assert L.transliterate("きょうと") == "kyouto"
+    assert L.transliterate("ぎゅうどん") == "gyuudon"
+    # sokuon gemination, incl. the t-before-ch rule
+    assert L.transliterate("サッポロ") == "sapporo"
+    assert L.transliterate("まっちゃ") == "matcha"
+    # chouonpu repeats the preceding vowel (waapuro-style long vowels)
+    assert L.transliterate("ラーメン") == "raamen"
+    # small-vowel merges (katakana loanword combos)
+    assert L.transliterate("ファ") == "fa"
+    assert L.transliterate("ヴァイオリン") == "vaiorin"
+    # Hepburn n-apostrophe before vowels/y
+    assert L.transliterate("しんや") == "shin'ya"
+    # mixed Han+kana: Han still passes through, kana romanizes
+    assert L.transliterate("東京タワー") == "東京tawaa"
+
+
+def test_transliterate_hangul_rr():
+    # letter-wise Revised Romanization via arithmetic decomposition
+    assert L.transliterate("서울") == "seoul"
+    assert L.transliterate("부산") == "busan"
+    assert L.transliterate("평양") == "pyeongyang"
+    assert L.transliterate("대전") == "daejeon"
+    assert L.transliterate("인천") == "incheon"
+    # letter-wise finals (transliteration variant: final ㄱ is g, not k)
+    assert L.transliterate("한국") == "hangug"
+
+
 def test_latin_name_udf(spark):
     import pandas as pd
     from pyspark.sql import functions as F
