@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "simhash16",
     "phash_near_dup",
+    "audio_features",
 ]
 
 
@@ -84,7 +85,9 @@ def main():
             "images_tileset": 3, "raster_tile_patches": 3}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = Q.QUERIES[name]
+        # knn_bruteforce/knn_grid are timed separately here but share one
+        # merged gate row (knn_topk) — fall back to the module attribute
+        fn = Q.QUERIES.get(name) or getattr(Q, name)
         best = None
         for _ in range(REPS.get(name, 2)):
             df = fn(spark, sf_dir)  # build plan (excluded: driver-side only)
