@@ -739,7 +739,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raster = np.zeros_like(zz)
         raster[:, ZIGZAG] = zz  # scan pos -> raster
         coef = (raster * qt[None, :]).astype(np.float64).reshape(-1, 8, 8)
-        blocks = np.einsum("ji,njk,kl->nil", DCT_M, coef, DCT_M, optimize=True) + 128.0
+        # two broadcast matmuls == the separable 2D IDCT; same reason as the
+        # encoder's _quantized_zigzag: einsum(optimize=True) re-ran its path
+        # search on every call (~0.2 ms each)
+        blocks = (DCT_M.T @ coef) @ DCT_M + 128.0
         # MCU layout: mcuy x mcux MCUs, each c.v x c.h blocks
         bh, bw = mcuy * c["v"], mcux * c["h"]
         plane = (blocks.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
