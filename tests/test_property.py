@@ -167,3 +167,29 @@ from planetiler_spark.kernels import lz4 as lz  # noqa: E402
 @settings(max_examples=60, deadline=None)
 def test_lz4_roundtrip_property(data):
     assert lz.decompress_block(lz.compress_block(data), len(data)) == data
+
+
+# --- from-scratch RIFF/WAVE PCM codec roundtrip ----------------------------
+
+from planetiler_spark.kernels import wav as wk  # noqa: E402
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=2000),
+       st.sampled_from([8000, 16000, 44100, 48000]),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate, ch):
+    n = (len(samples) // ch) * ch
+    s = np.array(samples[:n], dtype=np.int16).reshape(-1, ch)
+    if ch == 1:
+        s = s[:, 0]
+    got_rate, out = wk.decode_wav(wk.encode_wav(s, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(out.reshape(-1), s.reshape(-1))
+    # integer features agree with direct int64 math on the mono fold
+    mono = s if s.ndim == 1 else s[:, 0]
+    f = wk.pcm_features(mono)
+    v = mono.astype(np.int64)
+    assert f["sum_sq"] == int((v * v).sum())
+    assert f["sum_abs"] == int(np.abs(v).sum())
