@@ -337,6 +337,7 @@ class ScanPlan:
 
     def __init__(self):
         self.files: list[dict] = []
+        self.file_snapshots: list[int | None] = []  # snapshot that added each
         self.manifests_total = 0
         self.manifests_skipped = 0
         self.files_total = 0
@@ -422,6 +423,7 @@ def plan_scan(table: str, snapshot_id: int | None = None,
                         break
             if keep:
                 plan.files.append(df_)
+                plan.file_snapshots.append(e.get("snapshot_id"))
             else:
                 plan.files_skipped += 1
     return plan
@@ -461,6 +463,25 @@ def read_iceberg(spark, table: str, snapshot_id: int | None = None,
             if hi is not None:
                 out = out.filter(F.col(col) <= hi)
     return out
+
+
+def read_incremental(spark, table: str, from_snapshot: int,
+                     to_snapshot: int | None = None):
+    """Rows APPENDED after `from_snapshot` up to `to_snapshot` (default:
+    current) — the incremental-consumption primitive: each manifest entry
+    records the snapshot that added its file, so the delta is a metadata-only
+    file-list diff, never a data diff. Feeding these deltas to the
+    incremental tileset maintainer (streaming/tiles.py) keeps a tile table
+    current without rescanning the base — the 100 TB refresh path."""
+    meta = _load_metadata(table)
+    snap_id = to_snapshot if to_snapshot is not None else meta["current-snapshot-id"]
+    plan = plan_scan(table, snapshot_id=snap_id)
+    files = [f for f, s in zip(plan.files, plan.file_snapshots)
+             if s is not None and from_snapshot < s <= snap_id]
+    if not files:
+        return read_iceberg(spark, table, snapshot_id=snap_id).limit(0)
+    return (spark.read.option("basePath", os.path.join(table, "data"))
+            .parquet(*[f["file_path"] for f in files]))
 
 
 def table_info(table: str) -> dict:

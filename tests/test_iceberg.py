@@ -203,3 +203,51 @@ def test_iceberg_snapshot_drives_checkpoint_resume(spark, tmp_path):
     # lineage is "<xorhash>-<rowcount>": the recomputed bucket saw old + new
     assert int(ran2[0]["lineage"].split("-")[1]) == base.where(
         F.pmod("phash", F.lit(4)) == 2).count() + n_extra
+
+
+def test_read_incremental_exact_delta(spark, table):
+    inc = ib.read_incremental(spark, table, from_snapshot=1)
+    assert inc.count() == 500
+    assert inc.agg({"image_id": "min"}).collect()[0][0] == 1000
+    assert ib.read_incremental(spark, table, from_snapshot=2).count() == 0
+    bounded = ib.read_incremental(spark, table, from_snapshot=0, to_snapshot=1)
+    assert bounded.count() == 1000
+
+
+def test_incremental_scan_drives_tile_refresh(spark, tmp_path):
+    """Iceberg snapshot deltas feed the incremental tileset maintainer:
+    after applying the base snapshot and then only the appended delta, the
+    maintained tile table equals the batch pipeline over the full current
+    snapshot — the 100 TB refresh path (no base rescan)."""
+    from pyspark.sql import functions as F
+
+    from planetiler_spark.operators import tile_pipeline as tp
+    from planetiler_spark.sources import images as src
+    from planetiler_spark.streaming import tiles as stl
+
+    t = str(tmp_path / "tbl")
+    out = str(tmp_path / "tiles")
+
+    def bucketed(df):
+        return df.withColumn("bucket", F.pmod("phash", F.lit(4)).cast("int"))
+
+    base = src.images_df(spark, 40, partitions=2, with_bytes=False)
+    ib.write_iceberg(spark, bucketed(base), t, partition_col="bucket")
+    stl.apply_batch(spark, ib.read_iceberg(spark, t, snapshot_id=1)
+                    .drop("bucket"), 0, out, 0, 6, 8)
+
+    extra = (src.images_df(spark, 56, partitions=2, with_bytes=False)
+             .where(F.col("image_id") > "img000000000039"))
+    ib.write_iceberg(spark, bucketed(extra), t, partition_col="bucket")
+    delta = ib.read_incremental(spark, t, from_snapshot=1).drop("bucket")
+    assert delta.count() == 16
+    stl.apply_batch(spark, delta, 1, out, 0, 6, 8)
+
+    def tile_map(rows):
+        return {r.tile_id: (r.zoom, r.x, r.y, r.n_features, r.content_hash)
+                for r in rows}
+
+    got = tile_map(stl.read_tiles(spark, out).collect())
+    full = ib.read_iceberg(spark, t).drop("bucket")
+    want = tile_map(tp.tileset(spark, full, 0, 6, ordered=False).collect())
+    assert got == want
