@@ -146,3 +146,55 @@ def test_real_phash_near_dup_end_to_end(spark):
     assert want <= got
     # and no noise image pairs with anything
     assert not any("noise" in x for p in got for x in p)
+
+
+def test_avi_mjpeg_roundtrip_real_container():
+    """AVI is a REAL container now: RIFF/AVI magic, header-declared fps and
+    frame count, each frame an independent baseline JPEG (kernels/jpeg.py),
+    round-tripping above 40 dB PSNR."""
+    from planetiler_spark.kernels import avi
+    frames = [src._pixels(i, 64, 64) for i in range(5)]
+    buf = avi.encode_avi(frames, fps=12)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    fps, out = avi.decode_avi(buf)
+    assert fps == 12 and len(out) == 5
+    for a, b in zip(frames, out):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / mse) >= 40.0
+
+
+def test_avi_decode_skips_foreign_chunks_and_validates():
+    import struct
+    from planetiler_spark.kernels import avi
+    frames = [src._pixels(3, 32, 32)]
+    buf = bytearray(avi.encode_avi(frames, fps=10))
+    # append an idx1 chunk (odd size -> padded) inside the RIFF payload
+    extra = b"idx1" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    buf += extra
+    buf[4:8] = struct.pack("<I", struct.unpack("<I", bytes(buf[4:8]))[0] + len(extra))
+    fps, out = avi.decode_avi(bytes(buf))
+    assert fps == 10 and len(out) == 1
+    with pytest.raises(ValueError):
+        avi.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # header/frame-count mismatch is detected
+    truncated = bytes(avi.encode_avi(frames * 2, fps=10))
+    cut = truncated.rindex(b"00dc")
+    bad = truncated[:cut - 8]  # drop the last frame chunk, keep headers
+    with pytest.raises(ValueError):
+        avi.decode_avi(bad)
+
+
+def test_sample_frames_over_real_avi(spark):
+    import pandas as pd
+    frames = [src._pixels(i, 64, 64) for i in range(6)]
+    blob = io_ops.encode_video(frames, fmt="avi", fps=8)
+    vids = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["vid-avi"], "bytes": [blob]}))
+    out = sorted(io_ops.sample_frames(vids, every_n=3).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 3]
+    for r, want in zip(out, (frames[0], frames[3])):
+        got = ik.decode_png(bytes(r.bytes))
+        assert got.shape == want.shape
+        mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / mse) >= 40.0
