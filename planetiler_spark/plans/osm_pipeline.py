@@ -360,12 +360,62 @@ def _osm_candidates(spark: SparkSession, pbf: str) -> DataFrame:
                               F.col("lons"), F.col("lats"))))
 
 
+def vector_layers_json(frags: DataFrame) -> str:
+    """MBTiles-spec `json` metadata value from the rendered fragments —
+    LayerAttrStats.java:25-103 semantics: per layer, the union of attribute
+    fields typed Number/Boolean/String (mixed types collapse to String,
+    :47-55) and the observed [minzoom, maxzoom] range. One mapInPandas
+    parse + one small groupBy; the result is driver-side by definition
+    (it is one metadata string)."""
+    import pandas as pd
+
+    def classify(batches):
+        for pdf in batches:
+            rows = []
+            for layer, zoom, attrs in zip(pdf["layer"], pdf["zoom"], pdf["attrs"]):
+                fields = json.loads(attrs) if attrs else {}
+                if not fields:
+                    rows.append((layer, int(zoom), "", ""))
+                for k, v in fields.items():
+                    t = ("Boolean" if isinstance(v, bool)
+                         else "Number" if isinstance(v, (int, float))
+                         else "String")
+                    rows.append((layer, int(zoom), k, t))
+            yield pd.DataFrame(rows, columns=["layer", "zoom", "field", "ftype"])
+
+    stats = (frags.select("layer", "zoom", "attrs")
+             .mapInPandas(classify, "layer string, zoom int, field string, ftype string")
+             .groupBy("layer", "field")
+             .agg(F.min("zoom").alias("minz"), F.max("zoom").alias("maxz"),
+                  F.collect_set("ftype").alias("types"))
+             .collect())
+    layers: dict[str, dict] = {}
+    for r in stats:
+        lyr = layers.setdefault(r.layer, {"id": r.layer, "fields": {},
+                                          "minzoom": r.minz, "maxzoom": r.maxz})
+        lyr["minzoom"] = min(lyr["minzoom"], r.minz)
+        lyr["maxzoom"] = max(lyr["maxzoom"], r.maxz)
+        if r.field:
+            lyr["fields"][r.field] = (r.types[0] if len(r.types) == 1
+                                      else "String")
+    out = [{"id": l["id"], "fields": dict(sorted(l["fields"].items())),
+            "minzoom": l["minzoom"], "maxzoom": l["maxzoom"]}
+           for l in sorted(layers.values(), key=lambda l: l["id"])]
+    return json.dumps({"vector_layers": out})
+
+
 def osm_tileset(spark: SparkSession, pbf: str, min_zoom: int = 0,
                 max_zoom: int = 14, profile=DEFAULT_PROFILE,
-                schema=None, partitions: int | None = None) -> DataFrame:
+                schema=None, partitions: int | None = None,
+                with_metadata: bool = False):
     if schema is not None:
         feats = osm_features_yaml(spark, pbf, schema)
     else:
         feats = osm_features(spark, pbf, profile)
     frags = render_osm_features(feats, min_zoom, max_zoom)
-    return encode_osm_tiles(frags, partitions)
+    if not with_metadata:
+        return encode_osm_tiles(frags, partitions)
+    frags = frags.persist()
+    meta = {"json": vector_layers_json(frags),
+            "minzoom": str(min_zoom), "maxzoom": str(max_zoom)}
+    return encode_osm_tiles(frags, partitions), meta

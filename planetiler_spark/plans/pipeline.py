@@ -81,10 +81,12 @@ def main(argv=None):
         from planetiler_spark.sources import archives as ar
         t0 = time.time()
         os.makedirs(args.out, exist_ok=True)
-        tiles = op.osm_tileset(spark, args.osm, args.minzoom, args.maxzoom,
-                               partitions=sp).cache()
+        tiles, meta = op.osm_tileset(spark, args.osm, args.minzoom,
+                                     args.maxzoom, partitions=sp,
+                                     with_metadata=True)
+        tiles = tiles.cache()
         mb = os.path.join(args.out, "tiles.mbtiles")
-        ar.write_mbtiles(tiles, mb)
+        ar.write_mbtiles(tiles, mb, metadata=meta)
         agg = tiles.agg(F.count("*").alias("nt"),
                         F.sum("n_features").alias("nf")).collect()[0]
         print(json.dumps({"osm": args.osm, "n_tiles": int(agg.nt),

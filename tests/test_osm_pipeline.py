@@ -143,3 +143,50 @@ def test_line_merge_post_process(spark):
     n1, len1 = road_stats(merged)
     assert n1 < n0 / 2          # merging collapses segments into strokes
     assert 0.95 <= len1 / len0 <= 1.05  # geometry conserved up to snapping
+
+
+def test_vector_layers_json_semantics(spark):
+    """LayerAttrStats semantics on synthetic fragments: field union per
+    layer, Number/Boolean/String typing with mixed types collapsing to
+    String, observed zoom range."""
+    import json
+    import pandas as pd
+    frags = spark.createDataFrame(pd.DataFrame({
+        "layer": ["road", "road", "water", "water"],
+        "zoom": [3, 7, 5, 5],
+        "attrs": ['{"name": "A1", "lanes": 2}',
+                  '{"lanes": "wide", "oneway": true}',
+                  '{"depth": 4.5}',
+                  '{}'],
+    }))
+    got = json.loads(op.vector_layers_json(frags))["vector_layers"]
+    road = next(l for l in got if l["id"] == "road")
+    water = next(l for l in got if l["id"] == "water")
+    assert road["minzoom"] == 3 and road["maxzoom"] == 7
+    assert road["fields"] == {"name": "String", "lanes": "String",  # mixed
+                              "oneway": "Boolean"}
+    assert water["fields"] == {"depth": "Number"}
+    assert water["minzoom"] == 5 and water["maxzoom"] == 5
+
+
+def test_mbtiles_metadata_carries_vector_layers(spark, tmp_path):
+    """The headline flow writes the MBTiles-spec `json` metadata key
+    (TileArchiveMetadata.VECTOR_LAYERS_KEY) computed from the rendered
+    fragments."""
+    import json
+    import sqlite3
+    tiles, meta = op.osm_tileset(spark, MONACO, 13, 14, with_metadata=True)
+    vl = json.loads(meta["json"])["vector_layers"]
+    ids = {l["id"] for l in vl}
+    assert {"road", "water", "building"} <= ids
+    for l in vl:
+        assert 13 <= l["minzoom"] <= l["maxzoom"] <= 14
+    road = next(l for l in vl if l["id"] == "road")
+    assert road["fields"].get("highway") == "String"
+    mb = str(tmp_path / "t.mbtiles")
+    ar.write_mbtiles(tiles, mb, metadata=meta)
+    con = sqlite3.connect(mb)
+    stored = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    con.close()
+    assert json.loads(stored["json"])["vector_layers"] == vl
+    assert stored["minzoom"] == "13" and stored["maxzoom"] == "14"
