@@ -633,3 +633,93 @@ def _decode_feature(mv: memoryview, keys, values):
         parts.append(np.array(cur))
     attrs = {keys[tags[j]]: values[tags[j + 1]] for j in range(0, len(tags), 2)}
     return {"id": fid, "type": gtype, "geometry": parts, "attrs": attrs}
+
+
+def compute_tile_stats(data: bytes) -> list[dict]:
+    """Per-layer size statistics of an encoded tile — the exact semantics of
+    the reference's TileSizeStats.computeTileStats (TileSizeStats.java:
+    229-258), validated against TileSizeStatsTest's golden numbers:
+
+      layer_bytes      serialized size of the layer message body
+      layer_features   feature count
+      layer_geometries sum of MoveTo command lengths per feature
+                       (VectorTile.countGeometries:458-475)
+      layer_attr_bytes sum of raw key byte lengths + serialized Value
+                       message sizes
+      layer_attr_keys / layer_attr_values  interned counts
+
+    Result sorted by layer name (LayerStats.compareTo)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    mv = memoryview(data)
+    off = 0
+    out = []
+    while off < len(mv):
+        key, off = _read_varint(mv, off)
+        field = key >> 3
+        ln, off = _read_varint(mv, off)
+        payload = mv[off:off + ln]
+        off += ln
+        if field != 3:
+            continue
+        name = ""
+        n_feat = n_geom = n_keys = n_vals = attr_bytes = 0
+        p = 0
+        while p < len(payload):
+            k, p = _read_varint(payload, p)
+            f, wire = k >> 3, k & 7
+            if wire == 0:
+                _, p = _read_varint(payload, p)
+                continue
+            l2, p = _read_varint(payload, p)
+            body = payload[p:p + l2]
+            p += l2
+            if f == 1:
+                name = bytes(body).decode("utf-8")
+            elif f == 2:
+                n_feat += 1
+                n_geom += _count_geometries(body)
+            elif f == 3:
+                n_keys += 1
+                attr_bytes += l2
+            elif f == 4:
+                n_vals += 1
+                attr_bytes += l2
+        out.append({"layer": name, "layer_bytes": int(ln),
+                    "layer_features": n_feat, "layer_geometries": n_geom,
+                    "layer_attr_bytes": attr_bytes, "layer_attr_keys": n_keys,
+                    "layer_attr_values": n_vals})
+    out.sort(key=lambda s: s["layer"])
+    return out
+
+
+def _count_geometries(feature: memoryview) -> int:
+    """MoveTo-length sum over the feature's geometry commands
+    (VectorTile.countGeometries:458-475)."""
+    off = 0
+    total = 0
+    while off < len(feature):
+        key, off = _read_varint(feature, off)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            _, off = _read_varint(feature, off)
+            continue
+        ln, off = _read_varint(feature, off)
+        end = off + ln
+        if field != 4:
+            off = end
+            continue
+        cmds = []
+        while off < end:
+            v, off = _read_varint(feature, off)
+            cmds.append(v)
+        i = 0
+        while i < len(cmds):
+            cmd = cmds[i]
+            op, count = cmd & 7, cmd >> 3
+            if op == _MOVE_TO:
+                total += count
+            i += 1
+            if op != _CLOSE_PATH:
+                i += count * 2
+    return total

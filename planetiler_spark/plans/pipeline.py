@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--buckets", type=int, default=0,
                     help=">0: checkpointed per-bucket run (resumable)")
     ap.add_argument("--raster", action="store_true", help="also emit z14 raster tiles")
+    ap.add_argument("--layerstats", action="store_true",
+                    help="with --osm: also write <out>/tiles.mbtiles.layerstats"
+                         ".tsv.gz (the reference's --output-layerstats)")
     ap.add_argument("--verify", action="store_true", help="run patch PSNR/caption verify")
     ap.add_argument("--progress", action="store_true",
                     help="reference-style 10s status lines (counters + stages)")
@@ -87,6 +90,10 @@ def main(argv=None):
         tiles = tiles.cache()
         mb = os.path.join(args.out, "tiles.mbtiles")
         ar.write_mbtiles(tiles, mb, metadata=meta)
+        if args.layerstats:
+            from planetiler_spark.operators import tile_stats as tst
+            tst.write_layerstats(tst.layer_size_stats(tiles),
+                                 mb + ".layerstats.tsv.gz")
         agg = tiles.agg(F.count("*").alias("nt"),
                         F.sum("n_features").alias("nf")).collect()[0]
         print(json.dumps({"osm": args.osm, "n_tiles": int(agg.nt),
