@@ -35,7 +35,11 @@ removes whole files/manifests before Spark ever lists them.
 Checkpoint/resume (operators/checkpoint.py) keys on the same identity
 partition values, completing the brief's "checkpoints per-Iceberg-partition"
 loop. Appends are atomic: data + manifests land first, the metadata json is
-written via tmp+rename, version-hint last.
+written via tmp+rename, version-hint last. Scope boundaries, stated
+honestly: single writer at a time (real Iceberg arbitrates concurrent
+commits through a catalog's atomic swap; this filesystem layout has no
+catalog, so the last rename wins), appends only (no row deletes / schema
+evolution), format v1.
 """
 
 from __future__ import annotations
@@ -219,6 +223,11 @@ def write_iceberg(spark, df, table: str, partition_col: str | None = None,
             "properties": {}, "snapshots": [], "current-snapshot-id": -1,
         }
     field_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    got = {n: t for n, t in spark_fields}
+    if got != field_types:
+        raise ValueError(
+            f"append schema mismatch: table has {field_types}, got {got} "
+            "(schema evolution is out of scope for this writer)")
     spec_fields = [{"name": s["name"], "type": field_types[s["name"]]}
                    for s in meta["partition-specs"][0]["fields"]]
 

@@ -251,3 +251,15 @@ def test_incremental_scan_drives_tile_refresh(spark, tmp_path):
     full = ib.read_iceberg(spark, t).drop("bucket")
     want = tile_map(tp.tileset(spark, full, 0, 6, ordered=False).collect())
     assert got == want
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    from pyspark.sql import functions as F
+    t = str(tmp_path / "tbl3")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") % 2).cast("int").alias("bucket"))
+    ib.write_iceberg(spark, df, t, partition_col="bucket")
+    wrong = df.withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ib.write_iceberg(spark, wrong, t, partition_col="bucket")
