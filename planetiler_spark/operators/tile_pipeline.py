@@ -112,6 +112,221 @@ def render_features(images: DataFrame, min_zoom: int = 0,
     return images.select(*cols).mapInPandas(gen, FEATURES_SCHEMA)
 
 
+PACKED_SCHEMA = "bucket int, tok long, blob binary"
+
+
+def _string_buffers(arr):
+    """(offsets int32[n+1], data uint8[*]) numpy views of a pyarrow string
+    array, offset-normalized (a sliced array's offsets buffer starts at its
+    logical offset, not index 0 — same hazard PointTileStream.as_binary
+    guards)."""
+    import pyarrow as pa
+    if arr.offset:
+        arr = pa.concat_arrays([arr])
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    return off, data
+
+
+def _pack_feature_runs(out: pd.DataFrame, boundaries: np.ndarray,
+                       bucket_tok: np.ndarray) -> pd.DataFrame:
+    """Pack one render batch into ONE binary row per contiguous-range bucket:
+    [n u32 | tile_id i64[n] | ex i32[n] | ey i32[n] | sort_key i32[n] |
+     id_off u32[n+1] | id_bytes | cap_off u32[n+1] | cap_bytes].
+
+    This is the transport fix for the measured floor of the tile pipeline:
+    Spark's per-row UnsafeRow<->Arrow conversion costs ~1.3us/row regardless
+    of width (a no-op mapInArrow over the shuffled features cost the same as
+    the full MVT encode), so the features cross the row boundary packed
+    ~50-500x fewer rows instead. String payloads move as UTF-8 + offsets the
+    reduce re-hydrates into Arrow arrays zero-copy — no Python string objects
+    exist on either side."""
+    import pyarrow as pa
+    n = len(out)
+    if n == 0:
+        return pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                             "tok": pd.Series([], dtype="int64"),
+                             "blob": pd.Series([], dtype=object)})
+    tids = out["tile_id"].to_numpy()
+    bucket = np.searchsorted(boundaries, tids, side="right") - 1
+    order = np.argsort(bucket, kind="stable")
+    b_s = bucket[order]
+    tids_s = np.ascontiguousarray(tids[order], dtype="<i8")
+    ex_s = np.ascontiguousarray(out["ex"].to_numpy()[order], dtype="<i4")
+    ey_s = np.ascontiguousarray(out["ey"].to_numpy()[order], dtype="<i4")
+    sk_s = np.ascontiguousarray(out["sort_key"].to_numpy()[order], dtype="<i4")
+    take = pa.array(order)
+    ids = pa.array(out["image_id"].to_numpy(), type=pa.string()).take(take)
+    caps = pa.array(out["caption"].to_numpy(), type=pa.string()).take(take)
+    id_off, id_data = _string_buffers(ids)
+    cap_off, cap_data = _string_buffers(caps)
+    starts = np.nonzero(np.diff(b_s, prepend=b_s[0] - 1))[0]
+    ends = np.append(starts[1:], n)
+    blobs = []
+    for s, e in zip(starts, ends):
+        blobs.append(b"".join((
+            np.uint32(e - s).tobytes(),
+            tids_s[s:e].tobytes(),
+            ex_s[s:e].tobytes(), ey_s[s:e].tobytes(), sk_s[s:e].tobytes(),
+            np.ascontiguousarray(id_off[s:e + 1] - id_off[s], dtype="<u4").tobytes(),
+            id_data[id_off[s]:id_off[e]].tobytes(),
+            np.ascontiguousarray(cap_off[s:e + 1] - cap_off[s], dtype="<u4").tobytes(),
+            cap_data[cap_off[s]:cap_off[e]].tobytes(),
+        )))
+    bks = b_s[starts]
+    return pd.DataFrame({"bucket": bks.astype(np.int32),
+                         "tok": bucket_tok[bks],
+                         "blob": blobs})
+
+
+def _unpack_blob(mv):
+    """Inverse of one _pack_feature_runs blob: numpy views over the
+    (unaligned-tolerant) buffer + zero-copy Arrow string rehydration."""
+    import pyarrow as pa
+    n = int(np.frombuffer(mv, np.uint32, 1)[0])
+    o = 4
+    tid = np.frombuffer(mv, "<i8", n, o); o += 8 * n
+    ex = np.frombuffer(mv, "<i4", n, o); o += 4 * n
+    ey = np.frombuffer(mv, "<i4", n, o); o += 4 * n
+    sk = np.frombuffer(mv, "<i4", n, o); o += 4 * n
+
+    def strings(o):
+        off = np.frombuffer(mv, "<u4", n + 1, o)
+        o += 4 * (n + 1)
+        nbytes = int(off[n])
+        arr = pa.Array.from_buffers(pa.utf8(), n, [
+            None,
+            pa.py_buffer(np.ascontiguousarray(off, dtype=np.int32)),
+            pa.py_buffer(bytes(mv[o:o + nbytes]))])
+        return arr, o + nbytes
+
+    ids, o = strings(o)
+    caps, _ = strings(o)
+    return tid, ex, ey, sk, ids, caps
+
+
+def render_features_packed(images: DataFrame, min_zoom: int = 0,
+                           max_zoom: int = MAX_ZOOM,
+                           thin_limit: int | None = None, grid_px: int = 32,
+                           counters=None, partitions: int | None = None,
+                           buckets_per_partition: int = 8) -> DataFrame:
+    """render_features with bucket-packed transport: same per-batch render +
+    map-side partial thin, then each batch's features leave the Python worker
+    as one row per analytic tile-id-range bucket (see partitioning.py).
+    `partitions` MUST match the value passed to encode_vector_tiles_packed
+    (the partition tokens are baked per p)."""
+    from . import partitioning as pt
+
+    spark = images.sparkSession
+    p = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    boundaries, pid = pt.tile_range_partitioning(
+        min_zoom, max_zoom, p, buckets_per_partition)
+    bucket_tok = pt.partition_tokens(spark, p)[pid]
+    zooms = range(min_zoom, max_zoom + 1)
+    cell = grid_px * 4096 // 256
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ph = pdf["phash"].to_numpy()
+            wx, wy = src.anchor_world(ph)
+            sort_key = (ph % 1000).astype(np.int64)
+            out = R.render_points_pdf(pdf, wx, wy, zooms, layer=0, sort_key=sort_key)
+            idx = out.pop("feature_id").to_numpy()
+            out["image_id"] = pdf["image_id"].to_numpy()[idx]
+            out["caption"] = pdf["caption"].to_numpy()[idx]
+            out["sort_key"] = sort_key[idx]
+            if thin_limit is not None:
+                out = _partial_thin(out, thin_limit, cell)
+            if counters is not None:
+                counters.add("features", len(out))
+            yield _pack_feature_runs(out, boundaries, bucket_tok)
+
+    cols = [c for c in images.columns if c != "bytes"]
+    return images.select(*cols).mapInPandas(gen, PACKED_SCHEMA)
+
+
+def encode_vector_tiles_packed(packed: DataFrame, partitions: int | None = None,
+                               thin_limit: int | None = None,
+                               grid_px: int = 32, counters=None) -> DataFrame:
+    """Tile reduce over bucket-packed features. The exchange is a plain hash
+    shuffle on the partition TOKEN (exact bucket->partition placement, see
+    partitioning.partition_tokens), so the output is in TOTAL zoom-major
+    tile order — partitions ascend with tile-id range, buckets ascend within
+    a partition, tiles ascend within a bucket — and the sampling double-
+    compute of repartitionByRange never happens. Per bucket the features are
+    re-sorted (tile_id, sort_key, image_id) — the same total order the row
+    path's sortWithinPartitions("tile_id", "key", "image_id") produces (key
+    is monotone in (tile, layer=0, sort_key)) — then encoded by the shared
+    _encode_tile_runs, so tiles are byte-identical to the row path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cell = grid_px * mvt.EXTENT // 256
+    p = int(partitions or packed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shuffled = packed.repartition(p, "tok").sortWithinPartitions("bucket")
+
+    def reduce_bucket(blob_views):
+        parts = [_unpack_blob(mv) for mv in blob_views]
+        if len(parts) == 1:
+            tid, ex, ey, sk, ids, caps = parts[0]
+        else:
+            tid = np.concatenate([x[0] for x in parts])
+            ex = np.concatenate([x[1] for x in parts])
+            ey = np.concatenate([x[2] for x in parts])
+            sk = np.concatenate([x[3] for x in parts])
+            ids = pa.concat_arrays([x[4] for x in parts])
+            caps = pa.concat_arrays([x[5] for x in parts])
+        order = pc.sort_indices(
+            pa.table({"t": tid, "s": sk, "i": ids}),
+            sort_keys=[("t", "ascending"), ("s", "ascending"),
+                       ("i", "ascending")])
+        idx = order.to_numpy()
+        return _encode_tile_runs(
+            tid[idx].astype(np.int64), ex[idx].astype(np.int64),
+            ey[idx].astype(np.int64), sk[idx].astype(np.int64),
+            ids.take(order), caps.take(order), thin_limit, cell, counters)
+
+    def stream(batches):
+        held: list = []          # memoryviews of the open bucket's blobs
+        held_bucket: int | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            bks = rb.column(0).to_numpy()
+            if len(bks) > 1 and not np.all(bks[1:] >= bks[:-1]):
+                raise ValueError("encode_vector_tiles_packed: batch not "
+                                 "sorted by bucket")
+            col = rb.column(2)
+            if col.offset:
+                col = pa.concat_arrays([col])
+            off = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                                count=len(col) + 1)
+            data = memoryview(col.buffers()[2])
+            starts = np.nonzero(np.diff(bks, prepend=bks[0] - 1))[0]
+            ends = np.append(starts[1:], len(bks))
+            for s, e in zip(starts, ends):
+                views = [data[off[i]:off[i + 1]] for i in range(s, e)]
+                if held and held_bucket == bks[s]:
+                    held.extend(views)
+                    continue
+                if held:
+                    out = reduce_bucket(held)
+                    if out is not None:
+                        yield out
+                held = views
+                held_bucket = int(bks[s])
+        if held:
+            out = reduce_bucket(held)
+            if out is not None:
+                yield out
+
+    return shuffled.mapInArrow(stream, TILE_SCHEMA)
+
+
 def render_patches(images: DataFrame, zoom: int = MAX_ZOOM) -> DataFrame:
     """Raster render: decode each image once, crop per overlapping tile,
     re-encode the crop as PNG. One output row per (image, tile)."""
@@ -258,6 +473,46 @@ def _cumcount(keys: np.ndarray) -> np.ndarray:
     return rank
 
 
+def _encode_tile_runs(tids, ex, ey, sk, ids, caps, thin_limit, cell, counters):
+    """Shared encode tail of both vector-tile reduce paths: label-grid cap
+    (in sortKey order — FeatureGroup.TileFeatures.add:616-637), consecutive
+    tile runs, PointTileStream encode. Inputs MUST already be sorted by
+    (tile_id, sort_key, image_id); returns a RecordBatch or None."""
+    import hashlib
+    import pyarrow as pa
+    if thin_limit is not None:
+        # vectorized label-grid cap: rows are already in (tile, sortKey)
+        # order, so rank-within-(tile,cell) = order of appearance
+        cell_key = (tids << 16) ^ (((ex // cell) & 0xFF) << 8) ^ ((ey // cell) & 0xFF)
+        keep = _cumcount(cell_key) < thin_limit
+        if not keep.all():
+            idx = np.nonzero(keep)[0]
+            tids, ex, ey, sk = tids[idx], ex[idx], ey[idx], sk[idx]
+            ids = ids.take(pa.array(idx))
+            caps = caps.take(pa.array(idx))
+    n = len(tids)
+    if n == 0:
+        return None
+    starts = np.nonzero(np.diff(tids, prepend=tids[0] - 1))[0]
+    ends = np.append(starts[1:], n)
+    xs, ys, zs = tm.tile_decode(tids[starts])
+    stream = mvt.PointTileStream(ex, ey, sk, ids, caps)
+    blobs = list(stream.encode_tiles(starts, ends))
+    if counters is not None:  # per reduce call, not per tile
+        counters.add("tiles", len(starts))
+    return pa.RecordBatch.from_arrays([
+        pa.array(tids[starts], type=pa.int64()),
+        pa.array(zs.astype(np.int32), type=pa.int32()),
+        pa.array(xs.astype(np.int32), type=pa.int32()),
+        pa.array(ys.astype(np.int32), type=pa.int32()),
+        pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+        pa.array(blobs, type=pa.binary()),
+        pa.array([hashlib.sha256(b).hexdigest()[:16] for b in blobs],
+                 type=pa.string()),
+    ], names=["tile_id", "zoom", "x", "y", "n_features",
+              "tile_bytes", "content_hash"])
+
+
 def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
                         thin_limit: int | None = None,
                         grid_px: int = 32, counters=None) -> DataFrame:
@@ -274,7 +529,6 @@ def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
     drops beyond-limit features exactly like this, during tile assembly).
     Costs no extra shuffle; use the standalone `label_grid_thin` (salted
     windows) instead when data must shrink BEFORE the shuffle."""
-    import hashlib
     import pyarrow as pa
     cell = grid_px * mvt.EXTENT // 256
     p = partitions or feats.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -283,43 +537,13 @@ def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
 
     def reduce_tiles(chunks: list[pa.RecordBatch]):
         tbl = pa.Table.from_batches(chunks)
-        tids = tbl.column("tile_id").to_numpy()
-        ex = tbl.column("ex").to_numpy().astype(np.int64)
-        ey = tbl.column("ey").to_numpy().astype(np.int64)
-        sk = tbl.column("sort_key").to_numpy().astype(np.int64)
-        ids = tbl.column("image_id")
-        caps = tbl.column("caption")
-        if thin_limit is not None:
-            # vectorized label-grid cap: rows are already in (tile, sortKey)
-            # order, so rank-within-(tile,cell) = order of appearance
-            cell_key = (tids << 16) ^ (((ex // cell) & 0xFF) << 8) ^ ((ey // cell) & 0xFF)
-            keep = _cumcount(cell_key) < thin_limit
-            if not keep.all():
-                idx = np.nonzero(keep)[0]
-                tids, ex, ey, sk = tids[idx], ex[idx], ey[idx], sk[idx]
-                ids = ids.take(pa.array(idx))
-                caps = caps.take(pa.array(idx))
-        n = len(tids)
-        if n == 0:
-            return None
-        starts = np.nonzero(np.diff(tids, prepend=tids[0] - 1))[0]
-        ends = np.append(starts[1:], n)
-        xs, ys, zs = tm.tile_decode(tids[starts])
-        stream = mvt.PointTileStream(ex, ey, sk, ids, caps)
-        blobs = list(stream.encode_tiles(starts, ends))
-        if counters is not None:  # per reduce call, not per tile
-            counters.add("tiles", len(starts))
-        return pa.RecordBatch.from_arrays([
-            pa.array(tids[starts], type=pa.int64()),
-            pa.array(zs.astype(np.int32), type=pa.int32()),
-            pa.array(xs.astype(np.int32), type=pa.int32()),
-            pa.array(ys.astype(np.int32), type=pa.int32()),
-            pa.array((ends - starts).astype(np.int64), type=pa.int64()),
-            pa.array(blobs, type=pa.binary()),
-            pa.array([hashlib.sha256(b).hexdigest()[:16] for b in blobs],
-                     type=pa.string()),
-        ], names=["tile_id", "zoom", "x", "y", "n_features",
-                  "tile_bytes", "content_hash"])
+        return _encode_tile_runs(
+            tbl.column("tile_id").to_numpy(),
+            tbl.column("ex").to_numpy().astype(np.int64),
+            tbl.column("ey").to_numpy().astype(np.int64),
+            tbl.column("sort_key").to_numpy().astype(np.int64),
+            tbl.column("image_id"), tbl.column("caption"),
+            thin_limit, cell, counters)
 
     def stream_batches(batches):
         # consecutive-run grouping with zero-copy carry-over (the arrow twin
@@ -612,13 +836,33 @@ def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
 def tileset(spark: SparkSession, images: DataFrame, min_zoom: int = 0,
             max_zoom: int = MAX_ZOOM, shuffle_partitions: int | None = None,
             thin_limit: int | None = 64, ordered: bool = True,
-            pre_thin: bool = False, counters=None) -> DataFrame:
+            pre_thin: bool = False, counters=None,
+            packed: bool = True) -> DataFrame:
     """images -> vector tiles table, zoom-major tile order (phase 1+2+3).
 
     Density thinning (thin_limit) normally runs inside the tile reduce (zero
     extra shuffles). pre_thin=True additionally runs the salted two-stage
     window BEFORE the shuffle — worth it only when dense tiles dominate
-    shuffle volume (extreme skew at production scale)."""
+    shuffle volume (extreme skew at production scale); it needs row-shaped
+    features, so it forces the row path.
+
+    packed=True (default) moves features across the shuffle as bucket-packed
+    binary rows on an analytic range partitioning (partitioning.py): ~50x
+    fewer rows through Spark's per-row UnsafeRow<->Arrow conversion AND the
+    output lands in total zoom-major order for free, replacing the
+    repartitionByRange(tile_id) whose boundary sampling re-executed the
+    entire pipeline (measured: 5.5s -> 3.8s at sf0.1 before packing even
+    starts helping). Tiles are byte-identical between both paths."""
+    if packed and not pre_thin:
+        p = int(shuffle_partitions
+                or spark.conf.get("spark.sql.shuffle.partitions"))
+        feats = render_features_packed(images, min_zoom, max_zoom,
+                                       thin_limit=thin_limit,
+                                       counters=counters, partitions=p)
+        # already in total zoom-major order (exact range exchange)
+        return encode_vector_tiles_packed(feats, partitions=p,
+                                          thin_limit=thin_limit,
+                                          counters=counters)
     feats = render_features(images, min_zoom, max_zoom, thin_limit=thin_limit,
                             counters=counters)
     if pre_thin and thin_limit is not None:

@@ -126,3 +126,91 @@ def test_content_hash_dedup_consistency(spark, images):
         by_hash.setdefault(r.content_hash, set()).add(bytes(r.tile_bytes))
     for h, blobs in by_hash.items():
         assert len(blobs) == 1  # same hash -> byte-identical tile
+
+
+def test_packed_transport_equals_row_path(spark, images):
+    """The bucket-packed transport (analytic range exchange + blob rows) must
+    be BYTE-identical to the row path, in total zoom-major order, with the
+    same thinning selection."""
+    a = tp.tileset(spark, images, min_zoom=0, max_zoom=7, packed=False,
+                   thin_limit=4).collect()
+    b = tp.tileset(spark, images, min_zoom=0, max_zoom=7, packed=True,
+                   thin_limit=4).collect()
+    am = {r.tile_id: (r.zoom, r.x, r.y, r.n_features, bytes(r.tile_bytes),
+                      r.content_hash) for r in a}
+    bm = {r.tile_id: (r.zoom, r.x, r.y, r.n_features, bytes(r.tile_bytes),
+                      r.content_hash) for r in b}
+    assert am == bm
+    ids = [r.tile_id for r in b]
+    assert ids == sorted(ids)  # total order without any range-sampling pass
+
+
+def test_partition_tokens_exact(spark):
+    """token[i] must land on partition index i under repartition(p, token) —
+    the hash-preimage construction behind the analytic range exchange."""
+    from pyspark.sql import functions as F
+
+    from planetiler_spark.operators import partitioning as pt
+
+    p = 16
+    toks = pt.partition_tokens(spark, p)
+    df = spark.createDataFrame([(int(t),) for t in toks], "tok long")
+    got = (df.repartition(p, "tok")
+           .withColumn("pid", F.spark_partition_id()).collect())
+    assert {int(r["tok"]): int(r["pid"]) for r in got} == \
+        {int(toks[i]): i for i in range(p)}
+
+
+def test_tile_range_partitioning_properties(spark):
+    from planetiler_spark.operators import partitioning as pt
+
+    b, pid = pt.tile_range_partitioning(0, 11, 32, 8)
+    assert np.all(np.diff(b) > 0)            # strictly ascending boundaries
+    assert np.all(np.diff(pid) >= 0)         # partition ids non-decreasing
+    assert pid[0] == 0 and pid[-1] == 31     # full partition range used
+    assert b[0] == int(tm.ZOOM_START_INDEX[0])
+    # every tile id maps to a bucket of its own zoom's range
+    for z in (0, 3, 11):
+        tid = int(tm.tile_encode(np.int64((1 << z) - 1), np.int64(0), np.int64(z)))
+        k = int(np.searchsorted(b, tid, side="right") - 1)
+        assert int(tm.ZOOM_START_INDEX[z]) <= int(b[k]) <= tid
+
+
+def test_pack_unpack_roundtrip():
+    import pandas as pd
+
+    from planetiler_spark.operators.partitioning import tile_range_partitioning
+
+    rng = np.random.RandomState(7)
+    n = 500
+    zs = rng.randint(0, 9, n)
+    xs = rng.randint(0, 1 << 8, n) % (1 << zs)
+    ys = rng.randint(0, 1 << 8, n) % (1 << zs)
+    out = pd.DataFrame({
+        "tile_id": tm.tile_encode(xs, ys, zs),
+        "ex": rng.randint(-64, 4160, n).astype(np.int64),
+        "ey": rng.randint(-64, 4160, n).astype(np.int64),
+        "sort_key": rng.randint(0, 1000, n).astype(np.int64),
+        "image_id": np.array([f"img{i:012d}" for i in rng.randint(0, 99, n)],
+                             dtype=object),
+        "caption": np.array([f"caption {i} é東" for i in range(n)],
+                            dtype=object),
+    })
+    b, pid = tile_range_partitioning(0, 8, 8, 4)
+    packed = tp._pack_feature_runs(out, b, pid)
+    assert (packed["bucket"].to_numpy() ==
+            np.sort(packed["bucket"].to_numpy())).all()
+    got = []
+    for blob in packed["blob"]:
+        tid, ex, ey, sk, ids, caps = tp._unpack_blob(memoryview(blob))
+        for j in range(len(tid)):
+            got.append((int(tid[j]), int(ex[j]), int(ey[j]), int(sk[j]),
+                        ids[j].as_py(), caps[j].as_py()))
+    want = sorted(
+        ((int(r.tile_id), int(r.ex), int(r.ey), int(r.sort_key),
+          r.image_id, r.caption) for r in out.itertuples(index=False)),
+        key=lambda t: np.searchsorted(b, t[0], side="right"))
+    assert sorted(got) == sorted(want)
+    # bucket grouping is a partition of the rows (per-bucket counts add up)
+    assert sum(int(np.frombuffer(bl, np.uint32, 1)[0])
+               for bl in packed["blob"]) == n
