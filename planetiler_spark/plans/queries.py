@@ -1975,7 +1975,9 @@ def raster_tile_patches(spark, sf_dir):
     from ..operators import tile_pipeline as tp
     from ..sources import images as src
 
-    imgs = src.images_table(spark, _images_n(sf_dir, 150), partitions=8, with_bytes=True)
+    # 64 input splits: the render stage decodes REAL JPEG bytes per image
+    # (Python-CPU-bound) — 8 partitions capped a 32-core host at 25%
+    imgs = src.images_table(spark, _images_n(sf_dir, 150), partitions=64, with_bytes=True)
     # both branches (tile paste + verify) consume the rendered patches; persist
     # so the decode/crop/re-encode pass runs once (LRU-evicted, MEMORY_AND_DISK)
     patches = tp.render_patches(imgs).persist()
