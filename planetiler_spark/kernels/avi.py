@@ -62,6 +62,9 @@ def _walk(buf: bytes, pos: int, end: int):
     while pos + 8 <= end:
         cid = bytes(buf[pos:pos + 4])
         size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if pos + 8 + size > len(buf):
+            raise ValueError("truncated RIFF chunk "
+                             f"{cid!r}: {size} bytes past buffer end")
         if cid in (b"RIFF", b"LIST"):
             yield cid, bytes(buf[pos + 8:pos + 12]), pos + 12, size - 4
         else:
@@ -78,7 +81,7 @@ def decode_avi(buf: bytes) -> tuple[int, list[np.ndarray]]:
         raise ValueError("not a RIFF/AVI stream")
     fps = None
     declared = None
-    frames: list[np.ndarray] = []
+    raw_frames: list[bytes] = []
 
     def visit(pos, end):
         nonlocal fps, declared
@@ -90,9 +93,13 @@ def decode_avi(buf: bytes) -> tuple[int, list[np.ndarray]]:
                 declared = struct.unpack_from("<I", buf, p + 16)[0]
                 fps = round(1_000_000 / usec) if usec else None
             elif cid in (b"00dc", b"00db") and size > 0:
-                frames.append(jpeg.decode_jpeg(bytes(buf[p:p + size])))
+                raw_frames.append(bytes(buf[p:p + size]))
 
     visit(12, len(buf))
-    if declared is not None and declared != len(frames):
-        raise ValueError(f"AVI declares {declared} frames, found {len(frames)}")
+    if declared is not None and declared != len(raw_frames):
+        raise ValueError(f"AVI declares {declared} frames, found {len(raw_frames)}")
+    # all frames of the container decode in ONE lockstep batch — a video is
+    # a natural stream bundle even when individual frames lack DRI
+    frames = (jpeg.decode_jpeg_batch(raw_frames) if len(raw_frames) > 1
+              else [jpeg.decode_jpeg(b) for b in raw_frames])
     return fps or 0, frames

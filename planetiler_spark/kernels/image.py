@@ -30,15 +30,19 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """RGB8 (h, w, 3) uint8 -> PNG bytes (filter 0, zlib level 6, deterministic)."""
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """RGB8 (h, w, 3) uint8 -> PNG bytes (filter 0, zlib, deterministic).
+    level 6 for STORED artifacts; intermediate pipeline artifacts (per-tile
+    patch crops, pasted canvases) use level 1 — 2.4x faster for +~1KB on a
+    mostly-empty canvas, the same CPU-vs-bytes call Spark's own lz4 shuffle
+    compression makes."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # bitdepth 8, colortype 2 (RGB)
     raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 per scanline
     raw[:, 1:] = pixels.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -167,12 +171,21 @@ def decode_fake_jpeg(buf: bytes) -> np.ndarray:
     return np.frombuffer(zlib.decompress(buf[8:]), dtype=np.uint8).reshape(h, w, 3).copy()
 
 
+# Restart interval for engine-EMITTED jpegs: tiny intervals cost ~0.6% size
+# (2 marker bytes + byte-align per interval) and make every segment an
+# independent bitstream, which is what lets decode_images' lockstep batch
+# decoder run ~3x faster than the serial symbol walk. Foreign jpegs without
+# DRI still decode everywhere (one long stream each).
+JPEG_RESTART_INTERVAL = 2
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
         from . import jpeg as _jpeg
-        return _jpeg.encode_jpeg(pixels)
+        return _jpeg.encode_jpeg(pixels,
+                                 restart_interval=JPEG_RESTART_INTERVAL)
     raise NotImplementedError(f"image format {fmt!r} not supported (png/jpeg only)")
 
 
@@ -185,6 +198,31 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         from . import jpeg as _jpeg
         return _jpeg.decode_jpeg(buf)
     raise NotImplementedError(f"image format {fmt!r} not supported (png/jpeg only)")
+
+
+def decode_images(bufs: list[bytes], fmts: list[str]) -> list[np.ndarray]:
+    """Decode a batch of images, routing jpegs through the LOCKSTEP batch
+    entropy decoder (kernels/jpeg.decode_jpeg_batch — one numpy iteration
+    decodes one symbol in every live restart segment at once). Pixel output
+    is identical to per-image decode_image; if the batch decoder rejects the
+    group, each member falls back to the serial path so one malformed file
+    cannot fail its neighbors."""
+    from . import jpeg as _jpeg
+
+    out: list = [None] * len(bufs)
+    jpeg_idx = [i for i, f in enumerate(fmts)
+                if f == "jpeg" and bytes(bufs[i][:4]) != _FJPG_MAGIC]
+    if len(jpeg_idx) > 1:
+        try:
+            decs = _jpeg.decode_jpeg_batch([bytes(bufs[i]) for i in jpeg_idx])
+            for i, d in zip(jpeg_idx, decs):
+                out[i] = d
+        except _jpeg._JpegError:
+            pass  # isolate: decode each serially below
+    for i in range(len(bufs)):
+        if out[i] is None:
+            out[i] = decode_image(bytes(bufs[i]), fmts[i])
+    return out
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -520,17 +520,11 @@ def _parse_segments(buf: bytes):
         off += 2 + ln
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline sequential JFIF JPEG bytes -> (h, w, 3) uint8 RGB.
-
-    Self-describing decode: quantization and Huffman tables are read from the
-    stream. Generic interleaved MCU layout with per-component h/v sampling
-    factors; subsampled chroma is upsampled by pixel replication. Restart
-    intervals (DRI + RSTn) are supported — the entropy stream splits on the
-    markers (unambiguous: true 0xFF data bytes are stuffed), each segment
-    decodes with fresh DC predictions. Progressive/arithmetic modes raise."""
+def _parse_headers(buf: bytes) -> dict:
+    """Marker segments -> {qtbls, huff_raw, frame, scan_comps, data, dri}
+    (shared by the serial and the batched decoder)."""
     qtbls: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], list] = {}  # fused (len<<8|sym) peek LUTs
+    huff_raw: dict[tuple[int, int], tuple[tuple, tuple]] = {}
     frame = None
     scan_comps = None
     data = None
@@ -554,7 +548,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = tuple(payload[p + 1:p + 17])
                 nv = sum(bits)
                 vals = tuple(payload[p + 17:p + 17 + nv])
-                huff[(tc, th)] = _decode_tables(bits, vals)
+                huff_raw[(tc, th)] = (bits, vals)
                 p += 17 + nv
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise _JpegError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
@@ -579,23 +573,96 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             data = payload
     if frame is None or scan_comps is None or data is None:
         raise _JpegError("missing SOF0/SOS/entropy data")
+    return {"qtbls": qtbls, "huff_raw": huff_raw, "frame": frame,
+            "scan_comps": scan_comps, "data": data, "dri": dri}
 
-    # ---- entropy stream -> per-restart-segment 40-bit peek windows ----
-    # RSTn markers (FF D0-D7) are unambiguous inside entropy data (true 0xFF
-    # data bytes are always stuffed as FF 00), so splitting on them first and
-    # de-stuffing each segment separately is exact.
+
+def _split_restart_segments(data: bytes, dri: int) -> list[np.ndarray]:
+    """Entropy data -> per-restart-segment byte arrays. RSTn markers
+    (FF D0-D7) are unambiguous inside entropy data (true 0xFF data bytes are
+    always stuffed as FF 00), so splitting on them first and de-stuffing
+    each segment separately is exact."""
     raw = np.frombuffer(data, dtype=np.uint8)
-    if dri:
-        marks = np.nonzero((raw[:-1] == 0xFF) & (raw[1:] >= 0xD0)
-                           & (raw[1:] <= 0xD7))[0]
-        seg_arrays = []
-        prev = 0
-        for i in marks:
-            seg_arrays.append(raw[prev:int(i)])
-            prev = int(i) + 2
-        seg_arrays.append(raw[prev:])
-    else:
-        seg_arrays = [raw]
+    if not dri:
+        return [raw]
+    marks = np.nonzero((raw[:-1] == 0xFF) & (raw[1:] >= 0xD0)
+                       & (raw[1:] <= 0xD7))[0]
+    seg_arrays = []
+    prev = 0
+    for i in marks:
+        seg_arrays.append(raw[prev:int(i)])
+        prev = int(i) + 2
+    seg_arrays.append(raw[prev:])
+    return seg_arrays
+
+
+def _destuff(seg: np.ndarray) -> np.ndarray:
+    """Remove FF 00 byte stuffing from one entropy segment."""
+    drop = np.zeros(len(seg), dtype=bool)
+    ff = np.nonzero(seg == 0xFF)[0]
+    nxt = ff + 1
+    nxt = nxt[nxt < len(seg)]
+    drop[nxt[seg[nxt] == 0x00]] = True
+    return seg[~drop]
+
+
+def _mcu_geometry(frame: dict) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _reconstruct(frame: dict, ncoef: list[np.ndarray],
+                 qtbls: dict[int, np.ndarray]) -> np.ndarray:
+    """Per-component zigzag coefficient matrices -> (h, w, 3) uint8 RGB:
+    dequantize + batched matmul IDCT + MCU plane assembly + upsample."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = ncoef[ci]
+        qt = qtbls[c["tq"]]
+        raster = np.zeros_like(zz)
+        raster[:, ZIGZAG] = zz  # scan pos -> raster
+        coef = (raster * qt[None, :]).astype(np.float64).reshape(-1, 8, 8)
+        # two broadcast matmuls == the separable 2D IDCT; same reason as the
+        # encoder's _quantized_zigzag: einsum(optimize=True) re-ran its path
+        # search on every call (~0.2 ms each)
+        blocks = (DCT_M.T @ coef) @ DCT_M + 128.0
+        # MCU layout: mcuy x mcux MCUs, each c.v x c.h blocks
+        bh, bw = mcuy * c["v"], mcux * c["h"]
+        plane = (blocks.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
+                 .transpose(0, 2, 4, 1, 3, 5)
+                 .reshape(bh * 8, bw * 8))
+        # upsample to full resolution if subsampled
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:frame["h"], :frame["w"]])
+    ycc = np.stack(planes, axis=-1)
+    if ycc.shape[-1] == 1:
+        ycc = np.repeat(ycc, 3, axis=-1)
+        ycc[..., 1:] = 128.0
+    return ycbcr_to_rgb(ycc)
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline sequential JFIF JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    Self-describing decode: quantization and Huffman tables are read from the
+    stream. Generic interleaved MCU layout with per-component h/v sampling
+    factors; subsampled chroma is upsampled by pixel replication. Restart
+    intervals (DRI + RSTn) are supported — the entropy stream splits on the
+    markers (unambiguous: true 0xFF data bytes are stuffed), each segment
+    decodes with fresh DC predictions. Progressive/arithmetic modes raise."""
+    hd = _parse_headers(buf)
+    frame, scan_comps, dri = hd["frame"], hd["scan_comps"], hd["dri"]
+    qtbls = hd["qtbls"]
+    huff = {k: _decode_tables(b, v) for k, (b, v) in hd["huff_raw"].items()}
+    seg_arrays = _split_restart_segments(hd["data"], dri)
 
     def _bitstream(seg: np.ndarray):
         # O(1) 40-bit peek at any bit offset from 5 consecutive bytes (pad
@@ -605,22 +672,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         # needs a single list index instead of two. Materialized as a Python
         # list: the symbol loop below is the only sequential part of the
         # decoder and list indexing beats numpy scalar indexing ~5x there.
-        drop = np.zeros(len(seg), dtype=bool)
-        ff = np.nonzero(seg == 0xFF)[0]
-        nxt = ff + 1
-        nxt = nxt[nxt < len(seg)]
-        drop[nxt[seg[nxt] == 0x00]] = True
-        seg = seg[~drop]
+        seg = _destuff(seg)
         by = np.concatenate([seg, np.full(8, 0xFF, dtype=np.uint8)]).astype(np.int64)
         b40 = ((by[:-4] << 32) | (by[1:-3] << 24) | (by[2:-2] << 16)
                | (by[3:-1] << 8) | by[4:]).tolist()
         return b40, 8 * len(seg)
 
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-frame["w"] // (8 * hmax))
-    mcuy = -(-frame["h"] // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
     nmcu = mcux * mcuy
 
     by_id = {c["id"]: c for c in comps}
@@ -731,30 +790,257 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 np.asarray(ac_val[ci], dtype=np.int32)
         ncoef.append(zz)
 
-    # ---- vectorized reconstruction: dequantize + IDCT all blocks at once ----
-    planes = []
-    for ci, c in enumerate(comps):
-        zz = ncoef[ci]
-        qt = qtbls[c["tq"]]
-        raster = np.zeros_like(zz)
-        raster[:, ZIGZAG] = zz  # scan pos -> raster
-        coef = (raster * qt[None, :]).astype(np.float64).reshape(-1, 8, 8)
-        # two broadcast matmuls == the separable 2D IDCT; same reason as the
-        # encoder's _quantized_zigzag: einsum(optimize=True) re-ran its path
-        # search on every call (~0.2 ms each)
-        blocks = (DCT_M.T @ coef) @ DCT_M + 128.0
-        # MCU layout: mcuy x mcux MCUs, each c.v x c.h blocks
-        bh, bw = mcuy * c["v"], mcux * c["h"]
-        plane = (blocks.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
-                 .transpose(0, 2, 4, 1, 3, 5)
-                 .reshape(bh * 8, bw * 8))
-        # upsample to full resolution if subsampled
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:frame["h"], :frame["w"]])
-    ycc = np.stack(planes, axis=-1)
-    if ycc.shape[-1] == 1:
-        ycc = np.repeat(ycc, 3, axis=-1)
-        ycc[..., 1:] = 128.0
-    return ycbcr_to_rgb(ycc)
+    # vectorized reconstruction: dequantize + IDCT all blocks at once
+    return _reconstruct(frame, ncoef, qtbls)
+
+
+# ---------------------------------------------------------------------------
+# Batched decoder — lockstep entropy decode across many images at once
+# ---------------------------------------------------------------------------
+
+def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY baseline JPEGs at once; pixel-identical to decode_jpeg.
+
+    The serial decoder's only non-vectorized part is the per-symbol Huffman
+    walk (~78% of its time). Here every restart segment of every image is an
+    independent bitstream (fresh DC prediction, byte-aligned start — T.81
+    E.1.4), so the walk runs as a numpy LOCKSTEP state machine: one iteration
+    decodes one symbol in EVERY live stream (gathered 40-bit windows, one 2D
+    LUT gather, masked state transitions). Wall time scales with the LONGEST
+    stream, not the sum — with restart intervals every MCU row (this engine's
+    encoder default for stored tables) the streams are short and uniform and
+    the batch decodes ~4-6x faster than the serial walk; DRI-less files still
+    decode correctly as one long stream each.
+
+    Raises _JpegError exactly like the serial path (callers that want
+    isolation can retry failing members serially)."""
+    if not bufs:
+        return []
+    lut_stack: list[np.ndarray] = []
+    lut_ids: dict[tuple, int] = {}
+
+    def lut_id(bits: tuple, vals: tuple) -> int:
+        k = (bits, vals)
+        i = lut_ids.get(k)
+        if i is None:
+            i = lut_ids[k] = len(lut_stack)
+            lut_stack.append(np.asarray(_decode_tables(bits, vals),
+                                        dtype=np.int32))
+        return i
+
+    # --- parse headers; destuff + split restart segments PER IMAGE in one
+    # vectorized pass (a per-stream Python loop dominated wall time at small
+    # restart intervals: thousands of tiny appends/allocs) ---
+    PAD8 = np.full(8, 0xFF, dtype=np.uint8)  # 1-fill past stream end (spec)
+    imgs = []
+    flat_parts: list[np.ndarray] = []
+    st_len_parts: list[np.ndarray] = []     # destuffed byte length per stream
+    st_img_parts: list[np.ndarray] = []
+    st_nblk_parts: list[np.ndarray] = []
+    img_olen = np.empty(len(bufs), dtype=np.int64)
+    for ii, buf in enumerate(bufs):
+        hd = _parse_headers(buf)
+        frame, scan_comps, dri = hd["frame"], hd["scan_comps"], hd["dri"]
+        comps = frame["comps"]
+        _, _, mcux, mcuy = _mcu_geometry(frame)
+        nmcu = mcux * mcuy
+        by_cid = {c["id"]: c for c in comps}
+        pat_ci, pat_dc, pat_ac = [], [], []
+        for sc in scan_comps:
+            c = by_cid[sc["id"]]
+            ci = comps.index(c)
+            hr = hd["huff_raw"]
+            for _ in range(c["h"] * c["v"]):
+                pat_ci.append(ci)
+                pat_dc.append(lut_id(*hr[(0, sc["td"])]))
+                pat_ac.append(lut_id(*hr[(1, sc["ta"])]))
+        L = len(pat_ci)
+        # one pass over the entropy bytes: FF followers classify into
+        # stuffing (FF 00 -> drop the 00) and restart markers (FF D0-D7 ->
+        # drop both, record a segment boundary); equivalent to splitting
+        # first and destuffing each segment (stuffing never spans a marker)
+        raw = np.frombuffer(hd["data"], dtype=np.uint8)
+        ff = np.nonzero(raw[:-1] == 0xFF)[0]
+        fol = raw[ff + 1]
+        stuff = ff[fol == 0x00] + 1
+        rst = ff[(fol >= 0xD0) & (fol <= 0xD7)]
+        drops = np.sort(np.concatenate([stuff, rst, rst + 1]))
+        keep = np.ones(len(raw), dtype=bool)
+        keep[drops] = False
+        clean = raw[keep]
+        seg_end = rst - np.searchsorted(drops, rst)  # ends in clean coords
+        bounds = np.concatenate([[0], seg_end, [len(clean)]])
+        seg_lens = np.diff(bounds)
+        S = len(seg_lens)
+        if dri:
+            full, rem = divmod(nmcu, dri)
+            if S != full + (1 if rem else 0):
+                raise _JpegError("restart segments do not cover all MCUs")
+            seg_mcus = np.full(S, dri, dtype=np.int64)
+            if rem:
+                seg_mcus[-1] = rem
+        else:
+            if S != 1:
+                raise _JpegError("RSTn markers present without DRI")
+            seg_mcus = np.asarray([nmcu], dtype=np.int64)
+        for s in range(S):
+            flat_parts.append(clean[bounds[s]:bounds[s + 1]])
+            flat_parts.append(PAD8)
+        st_len_parts.append(seg_lens)
+        st_img_parts.append(np.full(S, ii, dtype=np.int64))
+        st_nblk_parts.append(seg_mcus * L)
+        img_olen[ii] = L
+        imgs.append({"frame": frame, "qtbls": hd["qtbls"],
+                     "pattern": np.asarray(pat_ci, dtype=np.int64),
+                     "pat_dc": np.asarray(pat_dc, dtype=np.int32),
+                     "pat_ac": np.asarray(pat_ac, dtype=np.int32),
+                     "seg_mcus": seg_mcus, "nmcu": nmcu})
+
+    st_len = np.concatenate(st_len_parts)
+    st_imgarr = np.concatenate(st_img_parts)
+    nblk = np.concatenate(st_nblk_parts)
+    R = len(st_len)
+    LUTS = np.stack(lut_stack)
+    Lmax = int(img_olen.max())
+    ORDER_DC = np.zeros((len(bufs), Lmax), dtype=np.int32)
+    ORDER_AC = np.zeros((len(bufs), Lmax), dtype=np.int32)
+    for ii, im in enumerate(imgs):
+        ORDER_DC[ii, :len(im["pat_dc"])] = im["pat_dc"]
+        ORDER_AC[ii, :len(im["pat_ac"])] = im["pat_ac"]
+    order_len = img_olen[st_imgarr]
+
+    # flat 40-bit windows: each stream padded with 8 x 0xFF (1-fill past end)
+    lens = st_len + 8
+    base_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    flat = np.concatenate(flat_parts).astype(np.int64)
+    B40 = ((flat[:-4] << 32) | (flat[1:-3] << 24) | (flat[2:-2] << 16)
+           | (flat[3:-1] << 8) | flat[4:])
+    bits_total = st_len * 8
+
+    blk_base = np.concatenate([[0], np.cumsum(nblk)[:-1]])
+    total_blocks = int(nblk.sum())
+
+    # --- lockstep state, kept COMPACT: only live streams occupy the arrays
+    # (state is compressed in place when streams finish, so every iteration
+    # does zero gather/scatter indirection on a `live` index vector) ---
+    alive = nblk > 0
+    sid = st_imgarr[alive]                         # ORDER row (= image) id
+    absbit = (base_b * 8)[alive]                   # fused bit cursor
+    bitlim = (base_b * 8 + bits_total)[alive]
+    isdc = np.ones(len(sid), dtype=bool)           # expect-DC phase
+    kpos = np.zeros(len(sid), dtype=np.int64)
+    slot = np.zeros(len(sid), dtype=np.int64)
+    gblock = blk_base[alive].copy()                # current global block id
+    gend = (blk_base + nblk)[alive]
+    olen = order_len[alive]
+    dcsel = ORDER_DC[sid, 0].astype(np.int64)
+    acsel = ORDER_AC[sid, 0].astype(np.int64)
+    cursel = dcsel.copy()                          # LUT of the NEXT symbol
+
+    dc_flat = np.zeros(total_blocks, dtype=np.int64)
+    ac_g: list[np.ndarray] = []
+    ac_k: list[np.ndarray] = []
+    ac_v: list[np.ndarray] = []
+    ONE = np.int64(1)
+
+    while len(sid):
+        off = absbit & 7
+        w = B40[absbit >> 3]
+        v = LUTS[cursel, (w >> (24 - off)) & 0xFFFF].astype(np.int64)
+        ln = v >> 8
+        sym = v & 255
+        size = np.where(isdc, sym, sym & 15)
+        kp = kpos + np.where(isdc, 0, sym >> 4)    # AC: skip the zero run
+        accoef = ~isdc & (size > 0)
+        bad = ((ln == 0) | (absbit >= bitlim) | (isdc & (size > 11))
+               | (accoef & (kp > 63))
+               | (~isdc & (size == 0) & (sym != 0) & (sym != 0xF0)))
+        if bad.any():
+            raise _JpegError("invalid huffman prefix / AC run past block end "
+                             "/ entropy data exhausted")
+        amp = (w >> (40 - off - ln - size)) & ((ONE << size) - 1)
+        amp = np.where((size > 0) & (amp < (ONE << np.maximum(size, 1)) >> 1),
+                       amp - ((ONE << size) - 1), amp)
+
+        if isdc.any():
+            dc_flat[gblock[isdc]] = amp[isdc]      # record DC diffs
+        if accoef.any():
+            ac_g.append(gblock[accoef])            # record AC coefficients
+            ac_k.append(kp[accoef])
+            ac_v.append(amp[accoef])
+
+        absbit += ln + size
+        # EOB (AC sym 0) forces block end; position 63 written ends it too
+        kpn = np.where(isdc, 1, np.where(sym == 0, 64, kp + 1))
+        end = ~isdc & (kpn >= 64)
+        kpos = np.where(end, 0, kpn)
+        isdc = end                                 # block end -> DC phase
+        if end.any():
+            gblock[end] += 1
+            ns = slot[end] + 1
+            ns[ns == olen[end]] = 0
+            slot[end] = ns
+            dcsel[end] = ORDER_DC[sid[end], ns]
+            acsel[end] = ORDER_AC[sid[end], ns]
+            done = gblock >= gend
+            if done.any():                         # compress the live set
+                keep = ~done
+                sid, absbit, bitlim = sid[keep], absbit[keep], bitlim[keep]
+                isdc, kpos, slot = isdc[keep], kpos[keep], slot[keep]
+                gblock, gend, olen = gblock[keep], gend[keep], olen[keep]
+                dcsel, acsel = dcsel[keep], acsel[keep]
+        cursel = np.where(isdc, dcsel, acsel)
+
+    # --- assemble per-image coefficient matrices and reconstruct ---
+    AG = np.concatenate(ac_g) if ac_g else np.empty(0, dtype=np.int64)
+    AK = np.concatenate(ac_k) if ac_k else np.empty(0, dtype=np.int64)
+    AV = np.concatenate(ac_v) if ac_v else np.empty(0, dtype=np.int64)
+    ao = np.argsort(AG, kind="stable")
+    AG, AK, AV = AG[ao], AK[ao], AV[ao]
+
+    out = []
+    s0 = 0  # stream cursor (streams are image-major)
+    for ii, im in enumerate(imgs):
+        nseg = len(im["seg_mcus"])
+        sts = range(s0, s0 + nseg)
+        b0 = int(blk_base[s0])
+        nb = int(sum(nblk[s] for s in sts))
+        s0 += nseg
+        pattern = im["pattern"]
+        L = len(pattern)
+        # component of every block, in walk order (pattern tiles across MCUs)
+        comp_arr = np.tile(pattern, im["nmcu"])
+        ncomp = len(im["frame"]["comps"])
+        pos_in_comp = np.empty(nb, dtype=np.int64)
+        counts = np.empty(ncomp, dtype=np.int64)
+        for ci in range(ncomp):
+            sel = comp_arr == ci
+            counts[ci] = int(sel.sum())
+            pos_in_comp[sel] = np.arange(counts[ci])
+        # image's AC triples
+        lo = np.searchsorted(AG, b0, side="left")
+        hi = np.searchsorted(AG, b0 + nb, side="left")
+        g_rel = AG[lo:hi] - b0
+        ncoef = []
+        for ci in range(ncomp):
+            zz = np.zeros((int(counts[ci]), 64), dtype=np.int32)
+            # DC: segmented cumsum — prediction resets at restart segments
+            d = dc_flat[b0:b0 + nb][comp_arr == ci]
+            if len(d):
+                # per-segment component-block counts: seg s holds
+                # seg_mcus[s] MCUs -> seg_mcus[s] * (#ci in pattern) blocks
+                per_seg = np.asarray(im["seg_mcus"], dtype=np.int64) * \
+                    int((pattern == ci).sum())
+                per_seg = per_seg[per_seg > 0]
+                acc = np.cumsum(d)
+                seg_end = np.cumsum(per_seg)
+                offs = np.concatenate([[0], acc[seg_end[:-1] - 1]])
+                acc = acc - np.repeat(offs, per_seg)
+                zz[:, 0] = acc.astype(np.int32)
+            m = comp_arr[g_rel] == ci
+            if np.any(m):
+                zz[pos_in_comp[g_rel[m]], AK[lo:hi][m]] = \
+                    AV[lo:hi][m].astype(np.int32)
+            ncoef.append(zz)
+        out.append(_reconstruct(im["frame"], ncoef, im["qtbls"]))
+    return out

@@ -65,8 +65,8 @@ def resize_images(images: DataFrame, out_w: int, out_h: int,
     def gen(batches):
         for pdf in batches:
             blobs, fmts = [], []
-            for r in pdf.itertuples(index=False):
-                px = ik.decode_image(bytes(r.bytes), r.fmt)
+            decoded = ik.decode_images(list(pdf["bytes"]), list(pdf["fmt"]))
+            for px in decoded:
                 blobs.append(ik.encode_image(resize_pixels(px, out_w, out_h),
                                              out_fmt))
                 fmts.append(out_fmt)
@@ -120,8 +120,8 @@ def extract_features(images: DataFrame, hist_bins: int = 8) -> DataFrame:
         for pdf in batches:
             out = {"image_id": [], "phash64": [], "luma_mean": [],
                    "luma_std": [], "hist": []}
-            for r in pdf.itertuples(index=False):
-                px = ik.decode_image(bytes(r.bytes), r.fmt)
+            decoded = ik.decode_images(list(pdf["bytes"]), list(pdf["fmt"]))
+            for px, r in zip(decoded, pdf.itertuples(index=False)):
                 luma = (0.299 * px[..., 0] + 0.587 * px[..., 1]
                         + 0.114 * px[..., 2])
                 shift = 8 - (hist_bins.bit_length() - 1)  # power-of-two bins

@@ -1988,7 +1988,7 @@ def raster_tile_patches(spark, sf_dir):
         _b.alias("pixels_ok"), _b.alias("caption_ok"),
         F.lit(None).cast("double").alias("min_psnr"))
     _l = F.lit(None).cast("long")
-    ver = (tp.verify_patches(patches)
+    ver = (tp.verify_patches(patches, imgs)
            .groupBy("pixels_ok", "caption_ok")
            .agg(F.count("*").alias("n"), F.min("psnr").alias("min_psnr"))
            .select(F.lit("verify").alias("kind"), _l.alias("tile_id"),

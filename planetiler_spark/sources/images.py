@@ -152,8 +152,9 @@ FIXTURE_DIR = os.path.join(
     ".fixtures")
 # bump when images_batch / the codecs change what the stored rows contain
 # (v2: jpeg encoder's DCT switched from einsum to matmul — FP association
-# order can flip rint ties, so stored jpeg bytes may differ)
-FIXTURE_VERSION = 2
+# order can flip rint ties, so stored jpeg bytes may differ; v3: jpegs carry
+# DRI restart intervals so the lockstep batch decoder gets short streams)
+FIXTURE_VERSION = 3
 
 
 def images_table(spark, n: int, partitions: int = 64, with_bytes: bool = True):

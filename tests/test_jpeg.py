@@ -170,3 +170,40 @@ def test_restart_intervals_roundtrip():
     # markers really are in the stream for small intervals
     b = encode_jpeg(px, restart_interval=1)
     assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+
+
+def test_batch_decoder_identical_to_serial():
+    """decode_jpeg_batch (lockstep entropy decode across all restart segments
+    of all images at once) must be pixel-identical to decode_jpeg — with
+    restart intervals, without, and across mixed sizes in one batch."""
+    from planetiler_spark.sources import images as src
+
+    pdf = src.images_batch(np.arange(60), with_bytes=True)
+    pix = [src._pixels(i, int(w), int(h))
+           for i, (w, h) in enumerate(zip(pdf["w"], pdf["h"]))]
+    for ri in (0, 1, 2, 5):
+        bufs = [J.encode_jpeg(p, restart_interval=ri) for p in pix[:24]]
+        want = [J.decode_jpeg(b) for b in bufs]
+        got = J.decode_jpeg_batch(bufs)
+        assert all(np.array_equal(a, b) for a, b in zip(want, got)), f"ri={ri}"
+    # mixed intervals + mixed sizes in ONE batch
+    bufs = [J.encode_jpeg(p, restart_interval=(i % 4)) for i, p in enumerate(pix)]
+    got = J.decode_jpeg_batch(bufs)
+    assert all(np.array_equal(J.decode_jpeg(b), g) for b, g in zip(bufs, got))
+
+
+def test_batch_decoder_odd_geometry_and_errors():
+    rng = np.random.RandomState(11)
+    for shape in [(8, 8, 3), (24, 40, 3), (17, 9, 3), (64, 63, 3)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        e = J.encode_jpeg(px, restart_interval=3)
+        assert np.array_equal(J.decode_jpeg(e), J.decode_jpeg_batch([e])[0])
+    assert J.decode_jpeg_batch([]) == []
+    # single-image batch
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    e = J.encode_jpeg(px)
+    assert np.array_equal(J.decode_jpeg(e), J.decode_jpeg_batch([e])[0])
+    # truncated entropy data raises like the serial path
+    bad = e[:len(e) - 30] + e[-2:]  # keep EOI, drop entropy tail
+    with pytest.raises(ValueError):
+        J.decode_jpeg_batch([bad])

@@ -214,3 +214,29 @@ def test_pack_unpack_roundtrip():
     # bucket grouping is a partition of the rows (per-bucket counts add up)
     assert sum(int(np.frombuffer(bl, np.uint32, 1)[0])
                for bl in packed["blob"]) == n
+
+
+def test_verify_stored_bytes_path_equals_legacy(spark, images):
+    """verify_patches(patches, images) — lossy truth from the STORED bytes,
+    batch-decoded — must agree row-for-row with the legacy re-derivation
+    path (the fixture stores exactly encode(pristine), so both decode the
+    same bitstream)."""
+    patches = tp.render_patches(images).cache()
+    legacy = {(r.image_id, r.tile_id): (round(r.psnr, 9), r.pixels_ok, r.caption_ok)
+              for r in tp.verify_patches(patches).collect()}
+    joined = {(r.image_id, r.tile_id): (round(r.psnr, 9), r.pixels_ok, r.caption_ok)
+              for r in tp.verify_patches(patches, images).collect()}
+    patches.unpersist()
+    assert legacy == joined
+    assert all(ok for _, ok, _ in joined.values())
+
+
+def test_decode_images_batch_equals_serial():
+    from planetiler_spark.kernels import image as _ik
+
+    pdf = src.images_batch(np.arange(40), with_bytes=True)
+    bufs = [bytes(b) for b in pdf["bytes"]]
+    fmts = list(pdf["fmt"])
+    got = _ik.decode_images(bufs, fmts)
+    for g, b, f in zip(got, bufs, fmts):
+        assert np.array_equal(g, _ik.decode_image(b, f))
