@@ -416,7 +416,13 @@ def _grouped_by_tile(df: DataFrame, partitions: int | None, order_cols: list[str
     boundaries. Orders of magnitude less per-group overhead than
     groupBy().applyInPandas at millions of small tiles."""
     p = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    shuffled = (df.repartition(int(p), "tile_id")
+    # a `tok` column (hash-preimage partition token over analytic tile-id
+    # range buckets, operators/partitioning.py) turns this hash exchange
+    # into an exact RANGE exchange: output is then in total tile order, so
+    # no repartitionByRange (whose boundary sampling re-executes the whole
+    # upstream plan) is ever needed downstream
+    key = "tok" if "tok" in df.columns else "tile_id"
+    shuffled = (df.repartition(int(p), key)
                 .sortWithinPartitions("tile_id", *order_cols))
 
     def stream(batches):
@@ -781,18 +787,26 @@ def verify_patches(patches: DataFrame, images: DataFrame | None = None) -> DataF
 # ---------------------------------------------------------------------------
 
 ZONE_FEATURES_SCHEMA = ("key long, tile_id long, zoom int, zone_id string, "
-                        "kind string, fill boolean, parts binary")
+                        "kind string, fill boolean, parts binary, tok long")
 
 
 def render_zone_features(spark: SparkSession, min_zoom: int = 0,
                          max_zoom: int = 8, n_zones: int | None = None,
-                         partitions: int = 16) -> DataFrame:
+                         partitions: int = 16,
+                         range_partitions: int | None = None) -> DataFrame:
     """zones polygons -> per-tile clipped/simplified fragments + interior fill
-    rows across zooms, in the sorted-KV model."""
+    rows across zooms, in the sorted-KV model. Each row carries its analytic
+    range-exchange token (partitioning.py) so the tile shuffle doubles as the
+    archive-order sort — no repartitionByRange sampling pass downstream."""
+    from . import partitioning as pt
     from ..kernels import geom as gk
     from ..sources import images as src
 
     zones = spark.createDataFrame(src.zones_pdf(n_zones or src.N_ZONES))
+    rp = int(range_partitions
+             or spark.conf.get("spark.sql.shuffle.partitions"))
+    boundaries, pid = pt.tile_range_partitioning(min_zoom, max_zoom, rp)
+    bucket_tok = pt.partition_tokens(spark, rp)[pid]
 
     def gen(batches):
         for pdf in batches:
@@ -812,7 +826,13 @@ def render_zone_features(spark: SparkSession, min_zoom: int = 0,
                         rows["fill"].append(kind == "fill")
                         rows["parts"].append(b"" if parts is None else gk.pack_parts(parts))
             out = pd.DataFrame(rows)
-            out["zoom"] = out["zoom"].astype("int32") if len(out) else out["zoom"]
+            if len(out):
+                out["zoom"] = out["zoom"].astype("int32")
+                bk = np.searchsorted(boundaries, out["tile_id"].to_numpy(),
+                                     side="right") - 1
+                out["tok"] = bucket_tok[bk]
+            else:
+                out["tok"] = pd.Series([], dtype="int64")
             yield out
 
     return zones.repartition(partitions, "zone_id").mapInPandas(gen, ZONE_FEATURES_SCHEMA)
@@ -897,11 +917,17 @@ def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
     path's per-feature rate in the same round's scaling runs (18.7k/core),
     i.e. the vectorized polygon command streams + scalar self-intersect
     screen keep polygons on the same cost curve as points."""
+    p = int(shuffle_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions"))
     tiles = encode_zone_tiles(
         render_zone_features(spark, min_zoom, max_zoom, n_zones=n_zones,
-                             partitions=shuffle_partitions or 16),
-        partitions=shuffle_partitions)
-    return tiles.repartitionByRange(8, "tile_id").sortWithinPartitions("tile_id")
+                             partitions=shuffle_partitions or 16,
+                             range_partitions=p),
+        partitions=p)
+    # already in total zoom-major order: the tile shuffle rode the analytic
+    # range tokens, so the old repartitionByRange (whose boundary sampling
+    # re-executed this whole pipeline) is gone
+    return tiles
 
 
 # ---------------------------------------------------------------------------

@@ -214,6 +214,12 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
                 x.to_numpy(np.int64), y.to_numpy(np.int64), zoom.to_numpy(np.int64)))
         df = (tiles_df.select("zoom", "x", "y", "tile_bytes", "content_hash")
               .withColumn("hilbert_id", _h("zoom", "x", "y")))
+    # materialize BEFORE the range exchange: repartitionByRange samples its
+    # child to pick boundaries, which re-executes the entire upstream plan
+    # (a full tileset pipeline) in a separate job. A single-file sink is an
+    # inherent materialization point anyway (the ordered-writer drains it
+    # once), so one persist turns the sampling pass into a cache read.
+    df = df.persist()
     ordered = (df.repartitionByRange("hilbert_id")
                .sortWithinPartitions("hilbert_id"))
 
@@ -250,6 +256,7 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
             else:
                 entries.extend((tid, off, ln, 1))
 
+    df.unpersist()
     n_contents = len(offsets)
     entries_np = np.frombuffer(entries, dtype=np.int64).reshape(-1, 4) \
         if len(entries) else np.empty((0, 4), dtype=np.int64)

@@ -71,3 +71,10 @@ def test_holes_preserved(spark, tiles):
                 if len(f["geometry"]) >= 2:
                     multi_ring += 1
     assert multi_ring > 0
+
+
+def test_zones_output_total_order(spark, tiles):
+    """The analytic range-token exchange must leave the tileset in total
+    zoom-major tile order without any repartitionByRange downstream."""
+    ids = [r.tile_id for r in tiles]
+    assert ids == sorted(ids)
