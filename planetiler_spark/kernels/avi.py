@@ -41,7 +41,10 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10,
     if not frames:
         raise ValueError("empty frame list")
     h, w = frames[0].shape[:2]
-    blobs = [jpeg.encode_jpeg(f, quality=quality) for f in frames]
+    # DRI every 2 MCUs: short independent streams let decode_avi's lockstep
+    # batch decoder run all frames' segments at once (image.py rationale)
+    blobs = [jpeg.encode_jpeg(f, quality=quality, restart_interval=2)
+             for f in frames]
     maxbuf = max(len(b) for b in blobs)
 
     avih = struct.pack("<14I", 1_000_000 // fps, maxbuf * fps, 0, 0x10,
@@ -98,8 +101,11 @@ def decode_avi(buf: bytes) -> tuple[int, list[np.ndarray]]:
     visit(12, len(buf))
     if declared is not None and declared != len(raw_frames):
         raise ValueError(f"AVI declares {declared} frames, found {len(raw_frames)}")
-    # all frames of the container decode in ONE lockstep batch — a video is
-    # a natural stream bundle even when individual frames lack DRI
-    frames = (jpeg.decode_jpeg_batch(raw_frames) if len(raw_frames) > 1
-              else [jpeg.decode_jpeg(b) for b in raw_frames])
+    # all frames of the container decode in ONE lockstep batch when they
+    # carry DRI (this muxer's output always does); DRI-less foreign MJPEG
+    # frames are long single streams, where the serial walk wins
+    if len(raw_frames) > 1 and b"\xff\xdd" in raw_frames[0][:4096]:
+        frames = jpeg.decode_jpeg_batch(raw_frames)
+    else:
+        frames = [jpeg.decode_jpeg(b) for b in raw_frames]
     return fps or 0, frames

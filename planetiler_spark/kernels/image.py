@@ -210,8 +210,12 @@ def decode_images(bufs: list[bytes], fmts: list[str]) -> list[np.ndarray]:
     from . import jpeg as _jpeg
 
     out: list = [None] * len(bufs)
+    # lockstep wins only when streams are short: route DRI-carrying jpegs
+    # (this engine's own output) to the batch decoder; a DRI-less foreign
+    # jpeg is ONE long stream and decodes faster through the serial walk
     jpeg_idx = [i for i, f in enumerate(fmts)
-                if f == "jpeg" and bytes(bufs[i][:4]) != _FJPG_MAGIC]
+                if f == "jpeg" and bytes(bufs[i][:4]) != _FJPG_MAGIC
+                and b"\xff\xdd" in bytes(bufs[i][:4096])]
     if len(jpeg_idx) > 1:
         try:
             decs = _jpeg.decode_jpeg_batch([bytes(bufs[i]) for i in jpeg_idx])
