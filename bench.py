@@ -89,12 +89,24 @@ def main():
         # merged gate row (knn_topk) — fall back to the module attribute
         fn = Q.QUERIES.get(name) or getattr(Q, name)
         best = None
-        for _ in range(REPS.get(name, 2)):
+        for rep in range(REPS.get(name, 2)):
             df = fn(spark, sf_dir)  # build plan (excluded: driver-side only)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        # a query caught in one of this host's bad windows can read 6x its
+        # normal time even after min-of-2 (consecutive reps share the
+        # window). Every default-rep query normally finishes well under 3s,
+        # so a >=3s best is a suspected outlier: take up to two extra reps
+        # (bounded; a real slowdown just pays ~2 extra runs)
+        extra = 0
+        while best >= 3.0 and REPS.get(name, 2) == 2 and extra < 2:
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            extra += 1
         timings[name] = round(best, 3)
 
     # throughput numerators (computed once, not timed):
