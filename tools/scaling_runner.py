@@ -60,9 +60,13 @@ def main():
     images.count()  # warm FS cache + JVM before timing
 
     # --- job 1: vector tileset (tiles/sec) ---
+    # SPARK_GRAFT_PACKED=0 forces the row-shaped transport — used for PAIRED
+    # control runs that separate host-window noise from code effects
+    packed = os.environ.get("SPARK_GRAFT_PACKED", "1") != "0"
     t0 = time.time()
     tiles = tp.tileset(spark, images, 0, args.maxzoom,
-                       shuffle_partitions=args.shuffle_partitions, ordered=False)
+                       shuffle_partitions=args.shuffle_partitions,
+                       ordered=False, packed=packed)
     agg = tiles.agg(F.count("*").alias("nt"), F.sum("n_features").alias("nf")).collect()[0]
     dt = time.time() - t0
     out["tileset_wall_s"] = round(dt, 2)
