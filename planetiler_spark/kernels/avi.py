@@ -103,9 +103,15 @@ def decode_avi(buf: bytes) -> tuple[int, list[np.ndarray]]:
         raise ValueError(f"AVI declares {declared} frames, found {len(raw_frames)}")
     # all frames of the container decode in ONE lockstep batch when they
     # carry DRI (this muxer's output always does); DRI-less foreign MJPEG
-    # frames are long single streams, where the serial walk wins
+    # frames are long single streams, where the serial walk wins. Fall back
+    # to per-frame serial decode if the batch path rejects the group, so a
+    # foreign stream quirk can't fail frames the serial decoder accepts.
+    frames = None
     if len(raw_frames) > 1 and b"\xff\xdd" in raw_frames[0][:4096]:
-        frames = jpeg.decode_jpeg_batch(raw_frames)
-    else:
+        try:
+            frames = jpeg.decode_jpeg_batch(raw_frames)
+        except jpeg._JpegError:
+            frames = None
+    if frames is None:
         frames = [jpeg.decode_jpeg(b) for b in raw_frames]
     return fps or 0, frames

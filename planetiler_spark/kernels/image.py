@@ -216,13 +216,20 @@ def decode_images(bufs: list[bytes], fmts: list[str]) -> list[np.ndarray]:
     jpeg_idx = [i for i, f in enumerate(fmts)
                 if f == "jpeg" and bytes(bufs[i][:4]) != _FJPG_MAGIC
                 and b"\xff\xdd" in bytes(bufs[i][:4096])]
+    # chunked: the lockstep decoder materializes ~16 int64 bytes per entropy
+    # byte (flat windows) plus every decoded image of the call at once, so a
+    # whole 65536-row Arrow batch in one call would spike task memory; a few
+    # hundred images already saturate the lockstep's parallelism
+    CHUNK = 256
     if len(jpeg_idx) > 1:
-        try:
-            decs = _jpeg.decode_jpeg_batch([bytes(bufs[i]) for i in jpeg_idx])
-            for i, d in zip(jpeg_idx, decs):
-                out[i] = d
-        except _jpeg._JpegError:
-            pass  # isolate: decode each serially below
+        for c0 in range(0, len(jpeg_idx), CHUNK):
+            grp = jpeg_idx[c0:c0 + CHUNK]
+            try:
+                for i, d in zip(grp, _jpeg.decode_jpeg_batch(
+                        [bytes(bufs[i]) for i in grp])):
+                    out[i] = d
+            except _jpeg._JpegError:
+                pass  # isolate: decode this chunk serially below
     for i in range(len(bufs)):
         if out[i] is None:
             out[i] = decode_image(bytes(bufs[i]), fmts[i])

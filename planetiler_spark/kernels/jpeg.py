@@ -873,12 +873,13 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
         seg_lens = np.diff(bounds)
         S = len(seg_lens)
         if dri:
-            full, rem = divmod(nmcu, dri)
-            if S != full + (1 if rem else 0):
+            # mirror the serial planner exactly: segments take min(dri, left)
+            # in order; EXTRA trailing segments (e.g. a muxer emitting one
+            # final RSTn before EOI) get 0 MCUs and decode nothing
+            seg_mcus = np.minimum(
+                np.maximum(nmcu - np.arange(S, dtype=np.int64) * dri, 0), dri)
+            if int(seg_mcus.sum()) != nmcu:
                 raise _JpegError("restart segments do not cover all MCUs")
-            seg_mcus = np.full(S, dri, dtype=np.int64)
-            if rem:
-                seg_mcus[-1] = rem
         else:
             if S != 1:
                 raise _JpegError("RSTn markers present without DRI")

@@ -112,7 +112,9 @@ def render_features(images: DataFrame, min_zoom: int = 0,
     return images.select(*cols).mapInPandas(gen, FEATURES_SCHEMA)
 
 
-PACKED_SCHEMA = "bucket int, tok long, blob binary"
+def _packed_schema(p: int) -> str:
+    from . import partitioning as pt
+    return f"bucket int, {pt.token_col(p)} long, blob binary"
 
 
 def _string_buffers(arr):
@@ -131,7 +133,8 @@ def _string_buffers(arr):
 
 
 def _pack_feature_runs(out: pd.DataFrame, boundaries: np.ndarray,
-                       bucket_tok: np.ndarray) -> pd.DataFrame:
+                       bucket_tok: np.ndarray,
+                       tok_name: str = "tok") -> pd.DataFrame:
     """Pack one render batch into ONE binary row per contiguous-range bucket:
     [n u32 | tile_id i64[n] | ex i32[n] | ey i32[n] | sort_key i32[n] |
      id_off u32[n+1] | id_bytes | cap_off u32[n+1] | cap_bytes].
@@ -147,7 +150,7 @@ def _pack_feature_runs(out: pd.DataFrame, boundaries: np.ndarray,
     n = len(out)
     if n == 0:
         return pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
-                             "tok": pd.Series([], dtype="int64"),
+                             tok_name: pd.Series([], dtype="int64"),
                              "blob": pd.Series([], dtype=object)})
     tids = out["tile_id"].to_numpy()
     bucket = np.searchsorted(boundaries, tids, side="right") - 1
@@ -177,7 +180,7 @@ def _pack_feature_runs(out: pd.DataFrame, boundaries: np.ndarray,
         )))
     bks = b_s[starts]
     return pd.DataFrame({"bucket": bks.astype(np.int32),
-                         "tok": bucket_tok[bks],
+                         tok_name: bucket_tok[bks],
                          "blob": blobs})
 
 
@@ -224,6 +227,7 @@ def render_features_packed(images: DataFrame, min_zoom: int = 0,
     boundaries, pid = pt.tile_range_partitioning(
         min_zoom, max_zoom, p, buckets_per_partition)
     bucket_tok = pt.partition_tokens(spark, p)[pid]
+    tok_name = pt.token_col(p)
     zooms = range(min_zoom, max_zoom + 1)
     cell = grid_px * 4096 // 256
 
@@ -243,10 +247,10 @@ def render_features_packed(images: DataFrame, min_zoom: int = 0,
                 out = _partial_thin(out, thin_limit, cell)
             if counters is not None:
                 counters.add("features", len(out))
-            yield _pack_feature_runs(out, boundaries, bucket_tok)
+            yield _pack_feature_runs(out, boundaries, bucket_tok, tok_name)
 
     cols = [c for c in images.columns if c != "bytes"]
-    return images.select(*cols).mapInPandas(gen, PACKED_SCHEMA)
+    return images.select(*cols).mapInPandas(gen, _packed_schema(p))
 
 
 def encode_vector_tiles_packed(packed: DataFrame, partitions: int | None = None,
@@ -265,9 +269,15 @@ def encode_vector_tiles_packed(packed: DataFrame, partitions: int | None = None,
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from . import partitioning as pt
+
     cell = grid_px * mvt.EXTENT // 256
     p = int(partitions or packed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    shuffled = packed.repartition(p, "tok").sortWithinPartitions("bucket")
+    tok_name = pt.resolve_token_col(packed.columns, p)
+    if tok_name is None:
+        raise ValueError("encode_vector_tiles_packed needs bucket-packed "
+                         "input from render_features_packed")
+    shuffled = packed.repartition(p, tok_name).sortWithinPartitions("bucket")
 
     def reduce_bucket(blob_views):
         parts = [_unpack_blob(mv) for mv in blob_views]
@@ -421,7 +431,9 @@ def _grouped_by_tile(df: DataFrame, partitions: int | None, order_cols: list[str
     # into an exact RANGE exchange: output is then in total tile order, so
     # no repartitionByRange (whose boundary sampling re-executes the whole
     # upstream plan) is ever needed downstream
-    key = "tok" if "tok" in df.columns else "tile_id"
+    from . import partitioning as pt
+
+    key = pt.resolve_token_col(df.columns, int(p)) or "tile_id"
     shuffled = (df.repartition(int(p), key)
                 .sortWithinPartitions("tile_id", *order_cols))
 
@@ -622,7 +634,7 @@ def encode_raster_tiles(patches: DataFrame, partitions: int | None = None) -> Da
             out["x"].append(int(xs[g]))
             out["y"].append(int(ys[g]))
             out["n_images"].append(e - s)
-            out["raster"].append(ik.encode_png(canvas, level=1))
+            out["raster"].append(ik.encode_png(canvas))  # final artifact: full compression
         yield pd.DataFrame(out)
 
     shuffled, stream = _grouped_by_tile(patches, partitions,
@@ -653,7 +665,23 @@ def verify_patches(patches: DataFrame, images: DataFrame | None = None) -> DataF
                   .sortWithinPartitions("image_id", "tile_id"))
 
         def check_joined(batches):
-            for pdf in batches:
+            # rows arrive sorted by image_id, so each image's patches are
+            # consecutive: decode lossy truths in bounded chunks of unique
+            # images (one decode_images call each) instead of holding every
+            # decoded image of the batch at once
+            UNIQ_CHUNK = 256
+
+            def row_chunks(pdf):
+                ids = pdf["image_id"].to_numpy()
+                n = len(ids)
+                run_starts = np.concatenate(
+                    [[0], np.nonzero(ids[1:] != ids[:-1])[0] + 1, [n]])
+                for u0 in range(0, len(run_starts) - 1, UNIQ_CHUNK):
+                    u1 = min(u0 + UNIQ_CHUNK, len(run_starts) - 1)
+                    yield pdf.iloc[int(run_starts[u0]):int(run_starts[u1])]
+
+            for whole in batches:
+              for pdf in row_chunks(whole):
                 out = {k: [] for k in ("image_id", "tile_id", "psnr",
                                        "pixels_ok", "caption_ok")}
                 # one lossy decode per unique jpeg image, batch-decoded
@@ -786,8 +814,8 @@ def verify_patches(patches: DataFrame, images: DataFrame | None = None) -> DataF
 # (clip -> fill detection -> DP simplify -> snap, render/TiledGeometry.java)
 # ---------------------------------------------------------------------------
 
-ZONE_FEATURES_SCHEMA = ("key long, tile_id long, zoom int, zone_id string, "
-                        "kind string, fill boolean, parts binary, tok long")
+ZONE_FEATURES_COLS = ("key long, tile_id long, zoom int, zone_id string, "
+                      "kind string, fill boolean, parts binary")
 
 
 def render_zone_features(spark: SparkSession, min_zoom: int = 0,
@@ -807,6 +835,7 @@ def render_zone_features(spark: SparkSession, min_zoom: int = 0,
              or spark.conf.get("spark.sql.shuffle.partitions"))
     boundaries, pid = pt.tile_range_partitioning(min_zoom, max_zoom, rp)
     bucket_tok = pt.partition_tokens(spark, rp)[pid]
+    tok_name = pt.token_col(rp)
 
     def gen(batches):
         for pdf in batches:
@@ -830,12 +859,13 @@ def render_zone_features(spark: SparkSession, min_zoom: int = 0,
                 out["zoom"] = out["zoom"].astype("int32")
                 bk = np.searchsorted(boundaries, out["tile_id"].to_numpy(),
                                      side="right") - 1
-                out["tok"] = bucket_tok[bk]
+                out[tok_name] = bucket_tok[bk]
             else:
-                out["tok"] = pd.Series([], dtype="int64")
+                out[tok_name] = pd.Series([], dtype="int64")
             yield out
 
-    return zones.repartition(partitions, "zone_id").mapInPandas(gen, ZONE_FEATURES_SCHEMA)
+    return zones.repartition(partitions, "zone_id").mapInPandas(
+        gen, f"{ZONE_FEATURES_COLS}, {tok_name} long")
 
 
 def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,

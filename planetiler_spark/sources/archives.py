@@ -235,7 +235,8 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
     n_tiles = 0
     data_len = 0
     minz = maxz = None
-    with open(tmp_data, "wb") as dataf:
+    try:
+      with open(tmp_data, "wb") as dataf:
         for r in ordered.toLocalIterator():
             tid = int(r.hilbert_id)
             blob = bytes(r.tile_bytes)
@@ -255,8 +256,9 @@ def write_pmtiles(tiles_df, path: str, metadata: dict | None = None,
                 entries[-1] += 1  # run-length of identical consecutive tiles
             else:
                 entries.extend((tid, off, ln, 1))
+    finally:
+        df.unpersist()  # even on a failed drain: don't pin the tileset cache
 
-    df.unpersist()
     n_contents = len(offsets)
     entries_np = np.frombuffer(entries, dtype=np.int64).reshape(-1, 4) \
         if len(entries) else np.empty((0, 4), dtype=np.int64)

@@ -207,3 +207,19 @@ def test_batch_decoder_odd_geometry_and_errors():
     bad = e[:len(e) - 30] + e[-2:]  # keep EOI, drop entropy tail
     with pytest.raises(ValueError):
         J.decode_jpeg_batch([bad])
+
+
+def test_batch_decoder_tolerates_trailing_restart_marker():
+    """Some muxers emit one final RSTn before EOI; the serial planner assigns
+    the extra empty segment 0 MCUs — the batch planner must match."""
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    e = bytearray(J.encode_jpeg(px, restart_interval=2))
+    eoi = bytes(e).rindex(b"\xFF\xD9")
+    # count existing RSTn to pick the next marker index in sequence
+    n_rst = sum(bytes(e).count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    e[eoi:eoi] = bytes([0xFF, 0xD0 + (n_rst % 8)])
+    e = bytes(e)
+    want = J.decode_jpeg(e)
+    got = J.decode_jpeg_batch([e])[0]
+    assert np.array_equal(want, got)

@@ -240,3 +240,11 @@ def test_decode_images_batch_equals_serial():
     got = _ik.decode_images(bufs, fmts)
     for g, b, f in zip(got, bufs, fmts):
         assert np.array_equal(g, _ik.decode_image(b, f))
+
+
+def test_token_partition_count_mismatch_raises(spark, images):
+    """A range-exchange token column built for one partition count must not
+    silently feed an exchange with a different count."""
+    feats = tp.render_features_packed(images, 0, 4, partitions=8)
+    with pytest.raises(Exception, match="different.*partition count"):
+        tp.encode_vector_tiles_packed(feats, partitions=16).count()
