@@ -193,3 +193,59 @@ def test_wav_roundtrip_property(samples, rate, ch):
     v = mono.astype(np.int64)
     assert f["sum_sq"] == int((v * v).sum())
     assert f["sum_abs"] == int(np.abs(v).sum())
+
+
+# --- lockstep batch JPEG decoder vs serial walk (final r3) ---------------
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 3),
+       st.sampled_from([0, 1, 2, 3, 8]))
+def test_jpeg_batch_equals_serial_property(seed, nimg, ri):
+    from planetiler_spark.kernels import jpeg as J
+
+    rng = np.random.RandomState(seed)
+    bufs = []
+    for _ in range(nimg):
+        h = int(rng.randint(1, 5)) * 8
+        w = int(rng.randint(1, 5)) * 8
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        bufs.append(J.encode_jpeg(px, restart_interval=ri))
+    want = [J.decode_jpeg(b) for b in bufs]
+    got = J.decode_jpeg_batch(bufs)
+    assert all(np.array_equal(a, b) for a, b in zip(want, got))
+
+
+# --- bucket-packed feature transport round trip (final r3) ----------------
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 300))
+def test_pack_unpack_feature_runs_property(seed, n):
+    import pandas as pd
+
+    from planetiler_spark.operators import partitioning as pt
+    from planetiler_spark.operators import tile_pipeline as tp
+
+    rng = np.random.RandomState(seed)
+    zs = rng.randint(0, 10, n)
+    xs = rng.randint(0, 1 << 10, n) % (1 << zs)
+    ys = rng.randint(0, 1 << 10, n) % (1 << zs)
+    out = pd.DataFrame({
+        "tile_id": tm.tile_encode(xs, ys, zs),
+        "ex": rng.randint(-64, 4161, n).astype(np.int64),
+        "ey": rng.randint(-64, 4161, n).astype(np.int64),
+        "sort_key": rng.randint(0, 1000, n).astype(np.int64),
+        "image_id": np.array([f"im{v}" for v in rng.randint(0, 50, n)],
+                             dtype=object),
+        "caption": np.array(["cápt🌍" * int(k) for k in rng.randint(0, 4, n)],
+                            dtype=object),
+    })
+    b, pid = pt.tile_range_partitioning(0, 9, 8, 4)
+    packed = tp._pack_feature_runs(out, b, pid)
+    got = []
+    for blob in packed["blob"]:
+        tid, ex, ey, sk, ids, caps = tp._unpack_blob(memoryview(blob))
+        got += [(int(tid[j]), int(ex[j]), int(ey[j]), int(sk[j]),
+                 ids[j].as_py(), caps[j].as_py()) for j in range(len(tid))]
+    want = [(int(r.tile_id), int(r.ex), int(r.ey), int(r.sort_key),
+             r.image_id, r.caption) for r in out.itertuples(index=False)]
+    assert sorted(got) == sorted(want)
