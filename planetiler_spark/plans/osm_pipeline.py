@@ -135,13 +135,28 @@ def _rings_world(lons, lats) -> list[np.ndarray]:
 
 
 def render_osm_features(feats: DataFrame, min_zoom: int = 0,
-                        max_zoom: int = 14) -> DataFrame:
+                        max_zoom: int = 14,
+                        range_partitions: int | None = None) -> DataFrame:
     """Matched features -> per-(tile, zoom) fragment rows in the sorted-KV
     model (ftype = MVT geometry type; fill rows for polygon interiors).
     Consumes the unified matched-feature schema (layer, kind, min_zoom,
     max_zoom, attrs map, nested lons/lats) produced by either osm_features
-    (built-in rules) or osm_features_yaml (a ConfiguredProfile schema)."""
+    (built-in rules) or osm_features_yaml (a ConfiguredProfile schema).
+
+    With range_partitions set, every fragment carries its analytic
+    range-exchange token (operators/partitioning.py) so encode_osm_tiles'
+    shuffle doubles as the archive-order sort — the output tiles land in
+    total zoom-major order with no extra exchange, the reference's ordered
+    TileArchiveWriter semantics."""
+    from ..operators import partitioning as pt
+
     layer_idx = dict(_LAYER_IDX)
+    tok_name = None
+    if range_partitions is not None:
+        rp = int(range_partitions)
+        boundaries, pid = pt.tile_range_partitioning(min_zoom, max_zoom, rp)
+        bucket_tok = pt.partition_tokens(feats.sparkSession, rp)[pid]
+        tok_name = pt.token_col(rp)
 
     def gen(batches):
         for pdf in batches:
@@ -196,9 +211,20 @@ def render_osm_features(feats: DataFrame, min_zoom: int = 0,
                             for tx, ty, kind, parts in R.slice_polygon(rings, z):
                                 emit(z, int(tx), int(ty), r.layer, r.fid, 3,
                                      kind == "fill", parts, attrs)
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            if tok_name is not None:
+                if len(out):
+                    bk = np.searchsorted(boundaries,
+                                         out["tile_id"].to_numpy(),
+                                         side="right") - 1
+                    out[tok_name] = bucket_tok[bk]
+                else:
+                    out[tok_name] = pd.Series([], dtype="int64")
+            yield out
 
-    return feats.mapInPandas(gen, FEATURES_SCHEMA)
+    schema = FEATURES_SCHEMA if tok_name is None else \
+        f"{FEATURES_SCHEMA}, {tok_name} long"
+    return feats.mapInPandas(gen, schema)
 
 
 TILES_SCHEMA = ("tile_id long, zoom int, x int, y int, n_features long, "
@@ -222,8 +248,14 @@ def encode_osm_tiles(frags: DataFrame, partitions: int | None = None,
     (mvt.PointTileStream / polygon_geom_stream, as the images pipeline
     does); the plumbing here (same sorted-KV shuffle) is unchanged."""
     import hashlib
+
+    from ..operators import partitioning as pt
+
     p = int(partitions or frags.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    shuffled = (frags.repartition(p, "tile_id")
+    # a matching range-exchange token (render_osm_features(range_partitions=p))
+    # makes this one shuffle ALSO the archive-order sort
+    key = pt.resolve_token_col(frags.columns, p) or "tile_id"
+    shuffled = (frags.repartition(p, key)
                 .sortWithinPartitions("tile_id", "key", "fid"))
     fill_cmds = mvt.encode_fill()
 
@@ -412,7 +444,11 @@ def osm_tileset(spark: SparkSession, pbf: str, min_zoom: int = 0,
         feats = osm_features_yaml(spark, pbf, schema)
     else:
         feats = osm_features(spark, pbf, profile)
-    frags = render_osm_features(feats, min_zoom, max_zoom)
+    p = int(partitions
+            or spark.conf.get("spark.sql.shuffle.partitions"))
+    partitions = p
+    frags = render_osm_features(feats, min_zoom, max_zoom,
+                                range_partitions=p)
     if not with_metadata:
         return encode_osm_tiles(frags, partitions)
     frags = frags.persist()

@@ -190,3 +190,11 @@ def test_mbtiles_metadata_carries_vector_layers(spark, tmp_path):
     con.close()
     assert json.loads(stored["json"])["vector_layers"] == vl
     assert stored["minzoom"] == "13" and stored["maxzoom"] == "14"
+
+
+def test_osm_tiles_total_order(tiles):
+    """The range-token exchange leaves the OSM tileset in total zoom-major
+    order — the reference's ordered TileArchiveWriter semantics — with no
+    repartitionByRange or extra sort."""
+    ids = [r.tile_id for r in tiles.collect()]
+    assert ids == sorted(ids)
