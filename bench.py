@@ -95,19 +95,24 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        # a query caught in one of this host's bad windows can read 6x its
-        # normal time even after min-of-2 (consecutive reps share the
-        # window). Every default-rep query normally finishes well under 3s,
-        # so a >=3s best is a suspected outlier: take up to two extra reps
-        # (bounded; a real slowdown just pays ~2 extra runs)
-        extra = 0
-        while best >= 3.0 and REPS.get(name, 2) == 2 and extra < 2:
-            df = fn(spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            extra += 1
         timings[name] = round(best, 3)
+
+    # Deferred outlier retry: a query caught in one of this host's bad windows
+    # can read 6x its normal time, and CONSECUTIVE reps share the window (r3's
+    # in-place >=3s re-rep loop read pip_zones_overlap at 4.5s across 4 reps;
+    # an isolated re-run minutes later read 0.77s). Every default-rep query
+    # normally finishes well under 3s, so retry any >=3s suspect here — after
+    # the whole bench has moved the clock minutes past the bad window.
+    for name in BENCH_QUERIES:
+        if timings[name] >= 3.0 and REPS.get(name, 2) == 2:
+            fn = Q.QUERIES.get(name) or getattr(Q, name)
+            best = timings[name]
+            for _ in range(2):
+                df = fn(spark, sf_dir)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
 
     # throughput numerators (computed once, not timed):
     # tiles written by the pyramid (z0..14 distinct tiles) and PIP join rows

@@ -63,7 +63,7 @@ def unescape(s: str) -> str:
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
-      (?P<num>\d+\.\d+|\d+)
+      (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op>\|\||&&|==|!=|<=|>=|[?:()\[\],.+\-*/%<>!])
@@ -98,9 +98,12 @@ TagRef = Callable[[str], tuple[str, str]]  # key -> (sql, type)
 @dataclass
 class Env:
     """Compile environment: how to render a tag reference + the SQL dialect
-    ('spark' | 'duckdb') for the few functions whose spelling differs."""
+    ('spark' | 'duckdb') for the few functions whose spelling differs.
+    `vars` renders extra identifiers (Contexts.FeaturePostMatch:448-454
+    provides `match_key`/`match_value` after a rule matches)."""
     tag: TagRef
     dialect: str = "spark"
+    vars: dict | None = None  # name -> (sql, type)
 
 
 @dataclass
@@ -122,6 +125,23 @@ class _Node:
             return "NULL", "any"
         if k == "tag":
             return env.tag(str(self.val))
+        if k == "area":
+            if not env.vars or "feature.area" not in env.vars:
+                raise CelError("feature.area is not available in this "
+                               "context (no geometry)")
+            sql, _ = env.vars["feature.area"]
+            div = {"m2": 1.0, "sqm": 1.0, "ha": 1e4,
+                   "km2": 1e6, "sqkm": 1e6}.get(str(self.val))
+            if div is None:
+                raise CelError(f"unknown area unit {self.val!r}")
+            return (sql if div == 1.0 else f"(({sql}) / {div!r})"), "num"
+        if k == "var":
+            if env.vars and str(self.val) in env.vars:
+                return env.vars[str(self.val)]
+            raise CelError(f"unknown identifier {self.val!r} (only "
+                           "`feature.tags.*`, literals, calls"
+                           + (", " + "/".join(sorted(env.vars)) if env.vars
+                              else "") + " are supported)")
         if k == "not":
             s, _ = self.kids[0].sql(env)
             return f"(NOT COALESCE({s}, FALSE))", "bool"
@@ -161,6 +181,19 @@ class _Node:
 
     def _call_sql(self, env: "Env") -> tuple[str, str]:
         fn = str(self.val)
+        if fn == "map" and len(self.kids) == 3:
+            # CEL comprehension macro `list.map(x, expr)` -> a SQL
+            # higher-order lambda (stays codegen'd in both engines)
+            recv, rt = self.kids[0].sql(env)
+            binder = self.kids[1]
+            if binder.kind != "var":
+                raise CelError("map(var, expr) needs a plain identifier")
+            name = str(binder.val)
+            inner = Env(env.tag, env.dialect,
+                        {**(env.vars or {}), name: (name, "str")})
+            body, _ = self.kids[2].sql(inner)
+            hof = "list_transform" if env.dialect == "duckdb" else "transform"
+            return f"{hof}({recv}, {name} -> {body})", "list"
         args = [kid.sql(env) for kid in self.kids]
         sqls = [a[0] for a in args]
         if fn == "coalesce":
@@ -169,9 +202,33 @@ class _Node:
         if fn == "nullif":
             return f"NULLIF({sqls[0]}, {sqls[1]})", args[0][1]
         if fn == "min":
+            if len(args) == 1 and args[0][1] == "list":
+                f = "list_min" if env.dialect == "duckdb" else "array_min"
+                return f"{f}({sqls[0]})", "num"
             return f"LEAST({', '.join(sqls)})", "num"
         if fn == "max":
+            if len(args) == 1 and args[0][1] == "list":
+                f = "list_max" if env.dialect == "duckdb" else "array_max"
+                return f"{f}({sqls[0]})", "num"
             return f"GREATEST({', '.join(sqls)})", "num"
+        if fn == "split":
+            # string.split(sep) with a LITERAL separator (cel-java strings
+            # extension / Guava Splitter semantics: keeps empty segments)
+            sep = self.kids[1]
+            if sep.kind != "str":
+                raise CelError("split() separator must be a string literal")
+            if env.dialect == "duckdb":
+                return f"string_split({sqls[0]}, {sqls[1]})", "list"
+            # Spark's split() takes a REGEX: escape the literal; limit -1
+            # keeps trailing empties like Splitter does
+            rx = re.escape(str(sep.val)).replace("'", "''")
+            return f"split({sqls[0]}, '{rx}', -1)", "list"
+        if fn == "size":
+            # CEL size(): string length or list length
+            if args[0][1] == "list":
+                f = "len" if env.dialect == "duckdb" else "size"
+                return f"{f}({sqls[0]})", "num"
+            return f"length({sqls[0]})", "num"
         if fn == "concat":
             return "(" + " || ".join(sqls) + ")", "str"
         if fn == "replace":
@@ -277,6 +334,28 @@ class _Parser:
         return self.primary()
 
     def primary(self) -> _Node:
+        return self._postfix(self._primary())
+
+    def _postfix(self, node: _Node) -> _Node:
+        """CEL string methods: `expr.replace(a, b)` / `expr.matches(re)`
+        desugar to the function with the receiver as first argument."""
+        while (self.i + 2 < len(self.toks)
+               and self.peek()[1] == "." and self.toks[self.i + 1][0] == "id"
+               and self.toks[self.i + 2][1] == "("):
+            self.next()
+            _, method = self.next()
+            self.eat("(")
+            args = [node]
+            if self.peek()[1] != ")":
+                args.append(self.expr())
+                while self.peek()[1] == ",":
+                    self.next()
+                    args.append(self.expr())
+            self.eat(")")
+            node = _Node("call", method, tuple(args))
+        return node
+
+    def _primary(self) -> _Node:
         kind, v = self.next()
         if kind == "num":
             return _Node("num", v)
@@ -302,8 +381,9 @@ class _Parser:
                         args.append(self.expr())
                 self.eat(")")
                 return _Node("call", v, tuple(args))
-            raise CelError(f"unknown identifier {v!r} (only `feature.tags.*`, "
-                           "literals and calls are supported)")
+            # environment variable (match_key/match_value, ...): resolved at
+            # sql() time against Env.vars — still a driver-compile-time check
+            return _Node("var", v)
         if v == "(":
             n = self.expr()
             self.eat(")")
@@ -313,6 +393,16 @@ class _Parser:
     def _feature_path(self) -> _Node:
         self.eat(".")
         k, v = self.next()
+        if v == "area":
+            # feature.area('m2'|'ha'|'km2') — spherical polygon area
+            # (PlanetilerStdLib.java:184-190 -> GeoUtils.ringAreaMeters:665)
+            unit = "m2"
+            if self.peek()[1] == "(":
+                self.next()
+                if self.peek()[0] == "str":
+                    unit = self.next()[1][1:-1]
+                self.eat(")")
+            return _Node("area", unit)
         if v != "tags":
             raise CelError(f"only feature.tags.* is supported, got feature.{v}")
         nxt = self.peek()[1]
@@ -321,6 +411,14 @@ class _Parser:
             k2, key = self.next()
             if k2 != "id":
                 raise CelError("expected tag name after feature.tags.")
+            if key == "get" and self.peek()[1] == "(":
+                # CEL map getter: feature.tags.get("key")
+                self.next()
+                k3, arg = self.next()
+                if k3 != "str":
+                    raise CelError("expected string key in feature.tags.get()")
+                self.eat(")")
+                return _Node("tag", arg[1:-1])
             return _Node("tag", key)
         if nxt == "[":
             self.next()
@@ -340,5 +438,6 @@ def compile_script(text: str) -> _Node:
     return _Parser(_tokenize(body)).parse()
 
 
-def script_sql(text: str, tagref: TagRef, dialect: str = "spark") -> str:
-    return compile_script(text).sql(Env(tagref, dialect))[0]
+def script_sql(text: str, tagref: TagRef, dialect: str = "spark",
+               vars: dict | None = None) -> str:
+    return compile_script(text).sql(Env(tagref, dialect, vars))[0]

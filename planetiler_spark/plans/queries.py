@@ -2330,8 +2330,9 @@ layers:
 - id: latin_docs
   features:
   - include_when:
-      lang: [en, fr, es]
-      source: "%1%"        # src1, src10..src19
+      __all__:             # mapping entries OR by default; this rule wants AND
+        lang: [en, fr, es]
+        source: "%1%"      # src1, src10..src19
     attributes:
     - key: language
       tag_value: lang

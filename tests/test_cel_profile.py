@@ -27,7 +27,10 @@ def test_cel_rejects_unknown():
     with pytest.raises(cel.CelError):
         cel.compile_script("${ feature.id }")
     with pytest.raises(cel.CelError):
-        cel.compile_script("${ unknown_var }")
+        # unknown identifiers resolve at sql() time (still driver-side,
+        # before any plan executes) — match_key/match_value are env vars now
+        cel.compile_script("${ unknown_var }").sql(
+            cel.Env(lambda k: (k, "str")))
 
 
 @pytest.fixture(scope="module")
@@ -122,7 +125,7 @@ tag_mappings:
 layers:
 - id: x
   features:
-  - include_when: {h: ""}
+  - include_when: {h: __any__}
     attributes:
     - key: height
       tag_value: height

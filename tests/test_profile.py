@@ -14,8 +14,9 @@ layers:
   - geometry: polygon
     min_zoom: 4
     include_when:
-      natural: water
-      class: [lake, river]
+      __all__:              # mapping entries OR by default (reference parity)
+        natural: water
+        class: [lake, river]
     exclude_when:
       intermittent: "yes"   # quoted: bare `yes` is YAML boolean true
     attributes:
@@ -29,7 +30,8 @@ layers:
     min_zoom: 10
     include_when:
       __any__:
-      - amenity: ""
+      - amenity: __any__     # key present with any value (null/__any__);
+                             # an explicit "" would mean match-when-MISSING
       - name: "%cafe%"
     attributes:
     - key: name
