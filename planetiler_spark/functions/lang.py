@@ -341,6 +341,94 @@ _GREEK = {
 }
 _TABLES = {**_CYRILLIC, **_GREEK}
 
+# Minimal Han -> toneless-pinyin table (VERDICT r3 #6). ICU's full Han-Latin
+# needs the Unihan kMandarin database (absent from this container); this
+# table covers ONLY characters whose readings are independently verifiable
+# from published romanizations in universal use — province/city names on any
+# world map (Beijing, Shanghai, Guangzhou, Shenzhen, Wuhan, Xi'an, Harbin,
+# Urumqi, Lhasa...), the top Chinese surnames as romanized in passports/news
+# (Wang, Li, Zhang, Liu, Chen...), numerals, and high-frequency map
+# vocabulary (road/street/city/district...). Deliberately EXCLUDED:
+# polyphonic characters whose toneless readings differ by context
+# (重 chong/zhong, 都 du/dou, 长 chang/zhang, 沈 shen/chen, 厦 xia/sha,
+# 朝 chao/zhao) — a wrong reading is worse than a pass-through. Simplified
+# and traditional variants listed separately where they differ. Output is
+# toneless because transliterate() folds combining marks anyway.
+_HAN_PINYIN = {
+    # geography: cities/provinces with universally published romanizations
+    "北": "bei", "京": "jing", "上": "shang", "海": "hai", "中": "zhong",
+    "国": "guo", "國": "guo", "广": "guang", "廣": "guang", "州": "zhou",
+    "深": "shen", "圳": "zhen", "香": "xiang", "港": "gang", "台": "tai",
+    "臺": "tai", "湾": "wan", "灣": "wan", "天": "tian", "津": "jin",
+    "庆": "qing", "慶": "qing", "成": "cheng", "武": "wu", "汉": "han",
+    "漢": "han", "西": "xi", "安": "an", "南": "nan", "东": "dong",
+    "東": "dong", "山": "shan", "河": "he", "湖": "hu", "江": "jiang",
+    "川": "chuan", "云": "yun", "雲": "yun", "贵": "gui", "貴": "gui",
+    "福": "fu", "建": "jian", "浙": "zhe", "苏": "su", "蘇": "su",
+    "杭": "hang", "宁": "ning", "寧": "ning", "青": "qing", "岛": "dao",
+    "島": "dao", "大": "da", "连": "lian", "連": "lian", "阳": "yang",
+    "陽": "yang", "春": "chun", "哈": "ha", "尔": "er", "爾": "er",
+    "滨": "bin", "濱": "bin", "郑": "zheng", "鄭": "zheng", "济": "ji",
+    "濟": "ji", "石": "shi", "家": "jia", "庄": "zhuang", "莊": "zhuang",
+    "太": "tai", "原": "yuan", "兰": "lan", "蘭": "lan", "银": "yin",
+    "銀": "yin", "乌": "wu", "烏": "wu", "鲁": "lu", "魯": "lu",
+    "木": "mu", "齐": "qi", "齊": "qi", "拉": "la", "萨": "sa",
+    "薩": "sa", "桂": "gui", "林": "lin", "昆": "kun", "明": "ming",
+    "门": "men", "門": "men", "澳": "ao", "珠": "zhu", "华": "hua",
+    "華": "hua", "夏": "xia", "韩": "han", "韓": "han", "英": "ying",
+    "法": "fa", "德": "de", "美": "mei", "俄": "e", "印": "yin",
+    "度": "du", "泰": "tai", "越": "yue", "缅": "mian", "甸": "dian",
+    "本": "ben",
+    # map vocabulary
+    "路": "lu", "街": "jie", "道": "dao", "市": "shi", "省": "sheng",
+    "县": "xian", "縣": "xian", "区": "qu", "區": "qu", "镇": "zhen",
+    "鎮": "zhen", "村": "cun", "乡": "xiang", "鄉": "xiang",
+    "公": "gong", "园": "yuan", "園": "yuan", "寺": "si", "庙": "miao",
+    "廟": "miao", "桥": "qiao", "橋": "qiao", "站": "zhan", "机": "ji",
+    "機": "ji", "场": "chang", "場": "chang", "飞": "fei", "飛": "fei",
+    "火": "huo", "车": "che", "車": "che", "人": "ren", "民": "min",
+    "和": "he", "平": "ping", "新": "xin", "旧": "jiu", "舊": "jiu",
+    "小": "xiao", "白": "bai", "黑": "hei", "红": "hong", "紅": "hong",
+    "黄": "huang", "黃": "huang", "绿": "lü", "綠": "lü", "金": "jin",
+    "水": "shui", "风": "feng", "風": "feng", "花": "hua", "草": "cao",
+    "树": "shu", "樹": "shu", "土": "tu",
+    # top surnames (standard pinyin spellings in universal use)
+    "王": "wang", "李": "li", "张": "zhang", "張": "zhang", "刘": "liu",
+    "劉": "liu", "陈": "chen", "陳": "chen", "杨": "yang", "楊": "yang",
+    "赵": "zhao", "趙": "zhao", "周": "zhou", "吴": "wu", "吳": "wu",
+    "徐": "xu", "孙": "sun", "孫": "sun", "马": "ma", "馬": "ma",
+    "朱": "zhu", "胡": "hu", "郭": "guo", "何": "he", "高": "gao",
+    "罗": "luo", "羅": "luo",
+    # numerals and calendar
+    "一": "yi", "二": "er", "三": "san", "四": "si", "五": "wu",
+    "六": "liu", "七": "qi", "八": "ba", "九": "jiu", "十": "shi",
+    "百": "bai", "千": "qian", "万": "wan", "萬": "wan", "年": "nian",
+    "月": "yue", "日": "ri", "星": "xing", "期": "qi", "时": "shi",
+    "時": "shi", "分": "fen", "秒": "miao",
+}
+
+
+def _romanize_han(s: str) -> str:
+    """Known Han characters -> toneless pinyin syllables separated by single
+    spaces (ICU Han-Latin separates syllables the same way); a space is also
+    inserted between a reading and an adjacent alphanumeric character.
+    Unknown Han passes through unchanged — the honest boundary."""
+    out: list[str] = []
+    prev_reading = False
+    for ch in s:
+        r = _HAN_PINYIN.get(ch)
+        if r is not None:
+            if out and (prev_reading or out[-1][-1].isalnum()):
+                out.append(" ")
+            out.append(r)
+            prev_reading = True
+        else:
+            if prev_reading and ch.isalnum():
+                out.append(" ")
+            out.append(ch)
+            prev_reading = False
+    return "".join(out)
+
 
 def _translit_char(ch: str) -> str:
     low = ch.lower()
@@ -358,14 +446,16 @@ def _translit_char(ch: str) -> str:
 
 def transliterate(s: str | None) -> str | None:
     """Partial Any-Latin: kana -> Hepburn romaji (sequence-aware pass),
-    Hangul -> letter-wise Revised Romanization, Cyrillic/Greek table
-    romanization, then NFKD diacritic folding of whatever is Latin already.
-    Han (and Arabic etc.) passes through unchanged — ICU's pinyin readings
-    need the Unihan data files this container doesn't have
-    (ThreadLocalTransliterator.java:18 delegates to ICU4J for those)."""
+    Hangul -> letter-wise Revised Romanization, Han -> toneless pinyin for
+    the verified _HAN_PINYIN subset (unknown Han passes through — ICU's full
+    readings need the Unihan data files this container doesn't have;
+    ThreadLocalTransliterator.java:18 delegates to ICU4J for those),
+    Cyrillic/Greek table romanization, then NFKD diacritic folding of
+    whatever is Latin already."""
     if s is None:
         return None
     s = _romanize_kana(unicodedata.normalize("NFC", s))
+    s = _romanize_han(s)
     s = "".join(_romanize_hangul_char(c) for c in s)
     romanized = "".join(_translit_char(c) for c in s)
     folded = []

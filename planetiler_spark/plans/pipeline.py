@@ -47,8 +47,9 @@ def main(argv=None):
                     help=">0: checkpointed per-bucket run (resumable)")
     ap.add_argument("--raster", action="store_true", help="also emit z14 raster tiles")
     ap.add_argument("--layerstats", action="store_true",
-                    help="with --osm: also write <out>/tiles.mbtiles.layerstats"
-                         ".tsv.gz (the reference's --output-layerstats)")
+                    help="also write <out>/*.layerstats.tsv.gz (the "
+                         "reference's --output-layerstats); works for both "
+                         "the images flagship and --osm flows")
     ap.add_argument("--verify", action="store_true", help="run patch PSNR/caption verify")
     ap.add_argument("--progress", action="store_true",
                     help="reference-style 10s status lines (counters + stages)")
@@ -131,6 +132,13 @@ def main(argv=None):
     agg = tiles.agg(F.count("*").alias("nt"), F.sum("n_features").alias("nf")).collect()[0]
     summary["n_tiles"] = int(agg.nt)
     summary["n_features"] = int(agg.nf or 0)
+
+    if args.layerstats:
+        from planetiler_spark.operators import tile_stats as tst
+        lpath = os.path.join(args.out, "tiles.layerstats.tsv.gz")
+        summary["layerstats_rows"] = tst.write_layerstats(
+            tst.layer_size_stats(tiles), lpath)
+        summary["layerstats"] = lpath
     if logger:
         logger.__exit__(None, None, None)
         summary["counters"] = counters.snapshot()

@@ -63,15 +63,6 @@ def resolve_oracles() -> dict[str, str]:
 _TID14 = X.tile_id_from_key("o_orderkey", 14)
 
 
-@query(
-    "tile_assign_z14",
-    f"""
-    SELECT {_TID14} AS tile_id,
-           count(*) AS n_features,
-           min(o_orderkey) AS first_key
-    FROM orders GROUP BY 1
-    """,
-)
 def tile_assign_z14(spark, sf_dir):
     """Point -> containing z14 tile (TileCoord.aroundLngLat:77-82), grouped per
     tile — the minimal map->group-by-tile slice. Pure JVM column math: Catalyst
@@ -88,22 +79,6 @@ _WXO, _WYO = X.world_x("o_orderkey"), X.world_y("o_orderkey")
 _TIDZ = X.tile_id(X.tile_x("wx", "zoom"), X.tile_y("wy", "zoom"), "zoom")
 
 
-@query(
-    "tile_pyramid_counts",
-    f"""
-    WITH pts AS (
-      SELECT o_orderkey, {_WXO} AS wx, {_WYO} AS wy FROM orders
-    ), exploded AS (
-      SELECT z.zoom AS zoom, {_TIDZ} AS tile_id
-      FROM pts CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS zoom) z
-    ), per_tile AS (
-      SELECT zoom, tile_id, count(*) AS n FROM exploded GROUP BY 1, 2
-    )
-    SELECT zoom, CAST(sum(n) AS BIGINT) AS n_features, count(*) AS n_tiles,
-           CAST(max(n) AS BIGINT) AS max_per_tile
-    FROM per_tile GROUP BY zoom
-    """,
-)
 def tile_pyramid_counts(spark, sf_dir):
     """The per-zoom render loop (FeatureRenderer.java:62-111): explode each
     feature across zooms 0..14, assign tiles, two-stage aggregate. The zoom
@@ -120,6 +95,46 @@ def tile_pyramid_counts(spark, sf_dir):
         F.count("*").alias("n_tiles"),
         F.max("n").cast("long").alias("max_per_tile"),
     )
+
+
+@query(
+    "tile_pyramid",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey, {_WXO} AS wx, {_WYO} AS wy FROM orders
+    ), exploded AS (
+      SELECT z.zoom AS zoom, {_TIDZ} AS tile_id
+      FROM pts CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS zoom) z
+    ), per_tile AS (
+      SELECT zoom, tile_id, count(*) AS n FROM exploded GROUP BY 1, 2
+    )
+    SELECT 'pyramid' AS kind, CAST(zoom AS INT) AS zoom,
+           CAST(NULL AS BIGINT) AS tile_id, CAST(sum(n) AS BIGINT) AS n_features,
+           count(*) AS aux, CAST(max(n) AS BIGINT) AS aux2
+    FROM per_tile GROUP BY zoom
+    UNION ALL
+    SELECT 'z14', CAST(14 AS INT), {_TID14}, count(*),
+           min(o_orderkey), CAST(NULL AS BIGINT)
+    FROM orders GROUP BY 3
+    """,
+)
+def tile_pyramid(spark, sf_dir):
+    """tile_assign_z14 + tile_pyramid_counts in ONE kind-discriminated gate
+    row (round-4 consolidation to stay inside the 50-row gate cap while the
+    freed slot oracle-gates the IVF ANN): 'z14' rows carry the per-tile
+    assignment (aux = first key), 'pyramid' rows the per-zoom rollup
+    (aux = n_tiles, aux2 = max per tile). Both sub-queries unchanged; both
+    still exported for bench/tests."""
+    _n = F.lit(None).cast("long")
+    z14 = tile_assign_z14(spark, sf_dir).select(
+        F.lit("z14").alias("kind"), F.lit(14).alias("zoom"), "tile_id",
+        "n_features", F.col("first_key").cast("long").alias("aux"),
+        _n.alias("aux2"))
+    pyr = tile_pyramid_counts(spark, sf_dir).select(
+        F.lit("pyramid").alias("kind"), "zoom", _n.alias("tile_id"),
+        "n_features", F.col("n_tiles").cast("long").alias("aux"),
+        F.col("max_per_tile").alias("aux2"))
+    return pyr.unionByName(z14)
 
 
 # ---------------------------------------------------------------------------
@@ -1948,21 +1963,197 @@ def _images_n(sf_dir: str, base: int = 400) -> int:
     return max(int(base * sf / 0.001), 50)
 
 
-@query("images_tileset")  # rows-only: full 3-phase pipeline (MVT bytes not SQL)
+def _images_tileset_oracle() -> str:
+    """DuckDB replay of the ENTIRE point render + label-grid-thin pipeline
+    (was rows-only until round 4): tile assignment per zoom 0-11, the
+    4px+eps neighbor-buffer duplication of render.slice_points (incl. the
+    antimeridian x-wrap and y-clamp), banker's-rounded EXTENT snapping
+    (np.round is half-to-even — replayed with an exact CASE), the 512-unit
+    label-grid cell key with the engine's `//`+`&0xFF` wrap for negative
+    buffer coords, and the global rank cap of 64 per (tile, cell) ordered by
+    (sort_key, image_id) (_encode_tile_runs:503-512). The deterministic
+    (id, wx, wy, sort_key) anchor table is inlined as VALUES at the gate's
+    sf0.01 size (repr(float) round-trips float64 exactly, as the PIP oracle
+    does for zone edges) and filtered by a row count derived from the orders
+    view (= 0.8x), so the same SQL is exact at sf0.001 too. The MVT bytes
+    themselves stay pinned by the byte-identity pytest suite
+    (test_packed_transport_equals_row_path, test_mvt equivalence)."""
+    import numpy as np
+
+    from ..sources import images as src
+
+    n_max = 12000  # sf0.01 gate size (= 0.8 * orders rows; sf0.001 -> 1200)
+    ids = np.arange(n_max, dtype=np.int64)
+    ph = src.phash_of(ids)
+    wx, wy = src.anchor_world(ph)
+    sk = (ph % 1000).astype(np.int64)  # numpy floor-mod: already in [0,1000)
+    anchor_rows = ",".join(
+        f"({i},{float(x)!r},{float(y)!r},{s})"
+        for i, x, y, s in zip(ids, wx, wy, sk))
+    zoom_rows = ",".join(f"({z},{1 << z},{(4 ** z - 1) // 3})"
+                         for z in range(0, 12))
+    eps = 4.0 / 256.0 + 0.1 / 4096.0  # render.BUFFER_TILE + NEIGHBOR_BUFFER_EPS
+
+    def _round_even(raw: str) -> str:
+        # np.round (half-to-even) on an exactly-computed double
+        return (f"CAST(CASE WHEN {raw} - floor({raw}) > 0.5 THEN floor({raw}) + 1 "
+                f"WHEN {raw} - floor({raw}) < 0.5 THEN floor({raw}) "
+                f"WHEN CAST(floor({raw}) AS BIGINT) % 2 = 0 THEN floor({raw}) "
+                f"ELSE floor({raw}) + 1 END AS BIGINT)")
+
+    return f"""
+    WITH anchors(i, wx, wy, sortk) AS (VALUES {anchor_rows}),
+    imgs AS (
+      SELECT * FROM anchors
+      WHERE i < greatest(CAST(round(0.8 * (SELECT count(*) FROM orders)) AS BIGINT), 50)
+    ),
+    zooms(z, n, zstart) AS (VALUES {zoom_rows}),
+    base AS (
+      SELECT i, sortk, z, n, zstart, wx * n AS sx, wy * n AS sy
+      FROM imgs, zooms
+    ),
+    clipped AS (
+      SELECT *, least(greatest(CAST(floor(sx) AS BIGINT), 0), n - 1) AS tx,
+                least(greatest(CAST(floor(sy) AS BIGINT), 0), n - 1) AS ty
+      FROM base
+    ),
+    fxy AS (SELECT *, sx - tx AS fx, sy - ty AS fy FROM clipped),
+    dirs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                            (1,-1),(1,0),(1,1)),
+    dup AS (
+      SELECT f.*, f.tx + d.dx AS utx, f.ty + d.dy AS uty
+      FROM fxy f, dirs d
+      WHERE (d.dx = 0 OR (d.dx = -1 AND f.fx < {eps!r})
+                      OR (d.dx = 1 AND f.fx > {1.0 - eps!r}))
+        AND (d.dy = 0 OR (d.dy = -1 AND f.fy < {eps!r})
+                      OR (d.dy = 1 AND f.fy > {1.0 - eps!r}))
+        AND f.ty + d.dy >= 0 AND f.ty + d.dy < f.n
+    ),
+    placed AS (
+      SELECT i, sortk, z, n, zstart,
+             ((utx % n) + n) % n AS otx, uty AS oty,
+             {_round_even("((sx - utx) * 4096.0)")} AS ex,
+             {_round_even("((sy - uty) * 4096.0)")} AS ey
+      FROM dup
+    ),
+    ranked AS (
+      SELECT zstart + otx * n + (n - 1 - oty) AS tile_id, z, otx, oty,
+             row_number() OVER (
+               PARTITION BY z, otx, oty,
+                 CAST(floor(ex / 512.0) AS BIGINT) & 255,
+                 CAST(floor(ey / 512.0) AS BIGINT) & 255
+               ORDER BY sortk, i) AS rn
+      FROM placed
+    )
+    SELECT CAST(tile_id AS BIGINT) AS tile_id, CAST(z AS INT) AS zoom,
+           CAST(otx AS INT) AS x, CAST(oty AS INT) AS y,
+           count(*) AS n_features
+    FROM ranked WHERE rn <= 64
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("images_tileset", _images_tileset_oracle)
 def images_tileset(spark, sf_dir):
     """THE flagship: Planetiler's map->sort->group-by-tile pipeline over the
     synthesized images table (render/slice -> shuffle on the 64-bit key ->
-    applyInPandas MVT encode). Returns the tile index (bytes dropped so the
-    driver's hash is schema-stable)."""
+    applyInPandas MVT encode). Oracle-backed since round 4: the DuckDB side
+    replays slicing + buffer dup + banker's snap + the 64-per-label-grid-cell
+    rank cap exactly (see _images_tileset_oracle); tile BYTES stay pinned by
+    the byte-identity pytest suite, so content_hash is no longer in the gate
+    projection."""
     from ..operators import tile_pipeline as tp
     from ..sources import images as src
 
     imgs = src.images_table(spark, _images_n(sf_dir, 1200), partitions=16, with_bytes=False)
     tiles = tp.tileset(spark, imgs, min_zoom=0, max_zoom=11)
-    return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
+    return tiles.select("tile_id", "zoom", "x", "y", "n_features")
 
 
-@query("raster_tile_patches")  # rows-only: raster<->vector graft + PSNR invariant
+def _raster_patches_oracle() -> str:
+    """DuckDB replay of the z14 patch index (render_patches, tile_pipeline.py
+    :341-374): anchor-centered image rect -> global pixel coords (Python
+    round() is banker's — replayed exactly), per-axis covered-tile ranges via
+    floor division (y clamped to the map, x wrapping mod 2^14), empty-crop
+    elimination, one row per surviving (image, tile). The `verify` summary
+    row is predicted as (pixels_ok=true, caption_ok=true, n=total patches):
+    equality holds only if the engine's distributed decode-and-compare job
+    verifies EVERY patch (min_psnr stays pytest-asserted >= 40dB). Anchors
+    inlined as VALUES at the sf0.01 gate size, filtered by 0.1x the orders
+    row count (= _images_n(sf_dir, 150))."""
+    import numpy as np
+
+    from ..sources import images as src
+
+    n_max = 1500  # sf0.01 gate size (= 0.1 * orders rows; sf0.001 -> 150)
+    ids = np.arange(n_max, dtype=np.int64)
+    ph = src.phash_of(ids)
+    wx, wy = src.anchor_world(ph)
+    w = np.where(ids % 10 == 9, src.BIG_SIZE, src.DEFAULT_SIZE)
+    anchor_rows = ",".join(
+        f"({i},{float(x)!r},{float(y)!r},{int(wi)})"
+        for i, x, y, wi in zip(ids, wx, wy, w))
+    n = 1 << 14
+    zstart = (4 ** 14 - 1) // 3
+
+    def _round_even(raw: str) -> str:
+        return (f"CAST(CASE WHEN {raw} - floor({raw}) > 0.5 THEN floor({raw}) + 1 "
+                f"WHEN {raw} - floor({raw}) < 0.5 THEN floor({raw}) "
+                f"WHEN CAST(floor({raw}) AS BIGINT) % 2 = 0 THEN floor({raw}) "
+                f"ELSE floor({raw}) + 1 END AS BIGINT)")
+
+    def _fdiv(x: str) -> str:  # Python // (floor) for possibly-negative ints
+        return f"CAST(floor(({x}) / 256.0) AS BIGINT)"
+
+    return f"""
+    WITH anchors(i, wx, wy, w) AS (VALUES {anchor_rows}),
+    imgs AS (
+      SELECT * FROM anchors
+      WHERE i < greatest(CAST(round(0.1 * (SELECT count(*) FROM orders)) AS BIGINT), 50)
+    ),
+    g AS (
+      SELECT i, w,
+             {_round_even(f"(wx * {256 * n}.0)")} - w // 2 AS gx0,
+             {_round_even(f"(wy * {256 * n}.0)")} - w // 2 AS gy0
+      FROM imgs
+    ),
+    ytiles AS (
+      SELECT i, w, gx0, gy0,
+             unnest(generate_series(greatest({_fdiv('gy0')}, 0),
+                                    least({_fdiv('gy0 + w - 1')}, {n - 1}))) AS ty
+      FROM g
+    ),
+    pairs AS (
+      SELECT i, w, ty,
+             unnest(generate_series({_fdiv('gx0')}, {_fdiv('gx0 + w - 1')})) AS tx,
+             gx0, gy0 - ty * 256 AS py0
+      FROM ytiles
+    ),
+    patches AS (
+      SELECT i, ((tx % {n}) + {n}) % {n} AS otx, ty
+      FROM (SELECT i, w, ty, tx, gx0 - tx * 256 AS px0, py0 FROM pairs)
+      WHERE least(w, 256 - px0) > greatest(0, -px0)
+        AND least(w, 256 - py0) > greatest(0, -py0)
+    ),
+    tiles AS (
+      SELECT {zstart} + otx * {n} + ({n - 1} - ty) AS tile_id, otx, ty,
+             count(*) AS n_images
+      FROM patches GROUP BY 1, 2, 3
+    )
+    SELECT 'patch' AS kind, CAST(tile_id AS BIGINT) AS tile_id,
+           CAST(14 AS INT) AS zoom, CAST(otx AS BIGINT) AS x,
+           CAST(ty AS BIGINT) AS y, n_images AS n,
+           CAST(NULL AS BOOLEAN) AS pixels_ok, CAST(NULL AS BOOLEAN) AS caption_ok
+    FROM tiles
+    UNION ALL
+    SELECT 'verify', CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), count(*),
+           TRUE, TRUE
+    FROM patches
+    """
+
+
+@query("raster_tile_patches", _raster_patches_oracle)
 def raster_tile_patches(spark, sf_dir):
     """Raster graft AND its distributed verify job in one result set (merged
     with the former `patch_psnr_verify` row to free a gate slot): decode image
@@ -1971,7 +2162,10 @@ def raster_tile_patches(spark, sf_dir):
     invariant check — decoded patch pixels vs deterministic source (exact for
     png, PSNR>=40dB lossy) and caption equality, aggregated per outcome.
     `kind` discriminates: 'patch' rows carry the tile index (n = images in
-    tile), 'verify' rows carry (pixels_ok, caption_ok, n = patches, min_psnr)."""
+    tile), 'verify' rows carry (pixels_ok, caption_ok, n = patches).
+    Oracle-backed since round 4 (_raster_patches_oracle): the patch index is
+    replayed in SQL and the verify summary must come out (true, true, total)
+    — min_psnr left to pytest (not SQL-computable) so the row stays exact."""
     from ..operators import tile_pipeline as tp
     from ..sources import images as src
 
@@ -1983,18 +2177,18 @@ def raster_tile_patches(spark, sf_dir):
     patches = tp.render_patches(imgs).persist()
     _b = F.lit(None).cast("boolean")
     rast = tp.encode_raster_tiles(patches).select(
-        F.lit("patch").alias("kind"), "tile_id", "zoom", "x", "y",
+        F.lit("patch").alias("kind"), "tile_id", "zoom",
+        F.col("x").cast("long").alias("x"), F.col("y").cast("long").alias("y"),
         F.col("n_images").cast("long").alias("n"),
-        _b.alias("pixels_ok"), _b.alias("caption_ok"),
-        F.lit(None).cast("double").alias("min_psnr"))
+        _b.alias("pixels_ok"), _b.alias("caption_ok"))
     _l = F.lit(None).cast("long")
     ver = (tp.verify_patches(patches, imgs)
            .groupBy("pixels_ok", "caption_ok")
-           .agg(F.count("*").alias("n"), F.min("psnr").alias("min_psnr"))
+           .agg(F.count("*").alias("n"))
            .select(F.lit("verify").alias("kind"), _l.alias("tile_id"),
                    F.lit(None).cast("int").alias("zoom"), _l.alias("x"),
                    _l.alias("y"), F.col("n").cast("long").alias("n"),
-                   "pixels_ok", "caption_ok", "min_psnr"))
+                   "pixels_ok", "caption_ok"))
     return rast.unionByName(ver)
 
 
@@ -2214,6 +2408,120 @@ def embedding_ivf_ann(spark, sf_dir, k: int = 5, nlist: int = 16,
         W.partitionBy("vec_id").orderBy(cos.desc(), "neighbor_id")))
     return (scored.filter(F.col("rank") <= k)
             .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
+
+
+# IVF gate row: the same inverted-file join shape as embedding_ivf_ann, but
+# with DETERMINISTIC integer centroids derived from the shared LCG (like the
+# LSH hyperplanes) instead of trained k-means — centroid c(g,i) is closed-form
+# in both engines, every dot product is exact int64 arithmetic, so the full
+# assign -> nprobe-probe -> bucket-join -> exact-refine pipeline is
+# hash-checkable cross-engine. The trained-k-means variant keeps its recall
+# coverage in tests/test_ivf_ann.py.
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+_IVF_CENT = f"(({X.lcg('g * 64 + i + 7', 2)}) % 2001 - 1000)"
+
+
+@query(
+    "embedding_ivf_ann",
+    f"""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT g, i, {_IVF_CENT} AS c
+      FROM (SELECT unnest(generate_series(0, {_IVF_NLIST - 1})) AS g),
+           (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    sims AS (
+      SELECT f.vec_id AS vec_id, c.g AS g, CAST(sum(f.q * c.c) AS BIGINT) AS sim
+      FROM flat f JOIN cents c ON f.i = c.i GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT vec_id, g, rn FROM (
+        SELECT vec_id, g,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, g) AS rn
+        FROM sims
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    lists AS (SELECT vec_id, g FROM probes WHERE rn = 1),
+    cands AS (
+      SELECT p.vec_id AS vec_id, l.vec_id AS neighbor_id
+      FROM probes p JOIN lists l ON p.g = l.g AND p.vec_id <> l.vec_id
+    ),
+    norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nrm FROM flat GROUP BY 1),
+    dots AS (
+      SELECT cd.vec_id AS vec_id, cd.neighbor_id AS neighbor_id,
+             CAST(sum(a.q * b.q) AS BIGINT) AS dot
+      FROM cands cd
+      JOIN flat a ON a.vec_id = cd.vec_id
+      JOIN flat b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.vec_id AS vec_id, dots.neighbor_id AS neighbor_id,
+             row_number() OVER (PARTITION BY dots.vec_id ORDER BY
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) DESC,
+               dots.neighbor_id) AS rank
+      FROM dots
+      JOIN norms na ON na.vec_id = dots.vec_id
+      JOIN norms nb ON nb.vec_id = dots.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def embedding_ivf_ann_gate(spark, sf_dir, k: int = 5):
+    """IVF ANN gate row (oracle-backed since round 4, VERDICT r3 #7): the
+    inverted-file pipeline — coarse-assign every vector to its best list,
+    probe the query's nprobe best lists, candidate equi-join on list id,
+    exact integer-cosine refine, top-k — with LCG-derived integer centroids
+    so both engines compute identical assignments (see block comment). The
+    entire plan is Catalyst codegen: posexplode + broadcast centroid join +
+    integer aggregates + windows; no Python in the hot path."""
+    e = tbl(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "v")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"),
+        F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("q"))
+    cents = (spark.range(_IVF_NLIST * 64)
+             .select((F.col("id") / 64).cast("long").alias("g"),
+                     (F.col("id") % 64 + 1).alias("i"))
+             .withColumn("c", F.expr(_IVF_CENT)))
+    sims = (flat.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "g")
+            .agg(F.sum(F.col("q") * F.col("c")).cast("long").alias("sim")))
+    probes = (sims.withColumn("rn", F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "g")))
+        .filter(F.col("rn") <= _IVF_NPROBE).select("vec_id", "g", "rn"))
+    lists = probes.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "g")
+    cands = (probes.join(lists, "g")
+             .filter(F.col("vec_id") != F.col("neighbor_id"))
+             .select("vec_id", "neighbor_id"))
+    norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("nrm"))
+    a = flat.select("vec_id", "i", F.col("q").alias("qa"))
+    b = flat.select(F.col("vec_id").alias("neighbor_id"), "i",
+                    F.col("q").alias("qb"))
+    dots = (cands.join(a, "vec_id").join(b, ["neighbor_id", "i"])
+            .groupBy("vec_id", "neighbor_id")
+            .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot")))
+    na = norms.select("vec_id", F.col("nrm").alias("na_n"))
+    nb = norms.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("nrm").alias("nb_n"))
+    cos = (F.col("dot").cast("double") /
+           F.sqrt(F.col("na_n").cast("double") * F.col("nb_n").cast("double")))
+    scored = (dots.join(na, "vec_id").join(nb, "neighbor_id")
+              .withColumn("rank", F.row_number().over(
+                  W.partitionBy("vec_id").orderBy(cos.desc(), "neighbor_id"))))
+    return (scored.filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank")))
 
 
 def knn_hex(spark, sf_dir, k: int = 5, res: int = 2):

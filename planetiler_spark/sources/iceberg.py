@@ -147,11 +147,25 @@ def _meta_dir(table: str) -> str:
 
 
 def _current_version(table: str) -> int:
+    """Latest committed metadata version: the version hint, or — because the
+    hint is written AFTER the metadata commit and a racing slower committer
+    may momentarily regress it — the max vN.metadata.json actually on disk,
+    whichever is newer (HadoopTableOperations has the same glob fallback)."""
     hint = os.path.join(_meta_dir(table), "version-hint.text")
-    if not os.path.exists(hint):
-        return 0
-    with open(hint) as f:
-        return int(f.read().strip())
+    v = 0
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = int(f.read().strip())
+    try:
+        for fn in os.listdir(_meta_dir(table)):
+            if fn.startswith("v") and fn.endswith(".metadata.json"):
+                try:
+                    v = max(v, int(fn[1:-len(".metadata.json")]))
+                except ValueError:
+                    pass
+    except FileNotFoundError:
+        pass
+    return v
 
 
 def _load_metadata(table: str) -> dict:
@@ -232,11 +246,12 @@ def write_iceberg(spark, df, table: str, partition_col: str | None = None,
                    for s in meta["partition-specs"][0]["fields"]]
 
     # ---- data files: hive-layout write into a staging dir, then move each
-    # file into the table's single data/ tree under a snapshot-unique name
-    # (one consistent <part>=<v> hierarchy keeps Spark partition discovery
-    # valid across snapshots), stats from the footers ----
-    snap_id = len(meta["snapshots"]) + 1
-    stage_dir = os.path.join(table, f"_stage-{snap_id}")
+    # file into the table's single data/ tree under a COMMIT-TOKEN-unique
+    # name (one consistent <part>=<v> hierarchy keeps Spark partition
+    # discovery valid across snapshots; the token keeps two concurrent
+    # appenders' files from ever colliding), stats from the footers ----
+    token = uuid.uuid4().hex[:12]
+    stage_dir = os.path.join(table, f"_stage-{token}")
     w = df.write.mode("overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
@@ -259,12 +274,12 @@ def write_iceberg(spark, df, table: str, partition_col: str | None = None,
                     part[k] = int(v) if t in ("int", "long") else v
             dest_dir = os.path.join(table, "data", *rel_dirs)
             os.makedirs(dest_dir, exist_ok=True)
-            path = os.path.join(dest_dir, f"snap{snap_id}-{seq:05d}.parquet")
+            path = os.path.join(dest_dir, f"snap-{token}-{seq:05d}.parquet")
             seq += 1
             os.replace(os.path.join(root, fn), path)
             nrows, lowers, uppers = _parquet_file_stats(path, want_stats)
             entries.append({
-                "status": 1, "snapshot_id": snap_id,
+                "status": 1, "snapshot_id": 0,  # filled per commit attempt
                 "data_file": {
                     "file_path": path, "file_format": "PARQUET",
                     "partition": part,
@@ -278,16 +293,8 @@ def write_iceberg(spark, df, table: str, partition_col: str | None = None,
 
     import shutil
     shutil.rmtree(stage_dir, ignore_errors=True)
-    mpath = os.path.join(_meta_dir(table), f"m-{snap_id}-{uuid.uuid5(uuid.NAMESPACE_URL, stage_dir).hex}.avro")
-    avro.write_container(
-        mpath, _manifest_schema(spec_fields), entries,
-        extra_meta={"schema": json.dumps(meta["schema"]).encode(),
-                    "partition-spec": json.dumps(
-                        meta["partition-specs"][0]["fields"]).encode(),
-                    "partition-spec-id": b"0",
-                    "format-version": b"1", "content": b"data"})
 
-    # field summaries for manifest-level pruning
+    # field summaries for manifest-level pruning (snap-id independent)
     summaries = None
     if spec_fields:
         summaries = []
@@ -301,37 +308,97 @@ def write_iceberg(spark, df, table: str, partition_col: str | None = None,
                 "upper_bound": _ser_bound(max(present), sf["type"]) if present else None,
             })
 
-    # ---- manifest list: previous snapshot's manifests + the new one ----
-    manifests = []
-    if meta["current-snapshot-id"] != -1:
-        prev = next(s for s in meta["snapshots"]
-                    if s["snapshot-id"] == meta["current-snapshot-id"])
-        _, manifests = avro.read_container(prev["manifest-list"])
-    manifests = list(manifests) + [{
-        "manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
-        "partition_spec_id": 0, "added_snapshot_id": snap_id,
-        "added_data_files_count": len(entries), "partitions": summaries,
-    }]
-    lpath = os.path.join(_meta_dir(table), f"snap-{snap_id}.avro")
-    avro.write_container(lpath, _MANIFEST_LIST_SCHEMA, manifests)
+    # ---- commit: optimistic read-rebase-publish loop. Two appenders racing
+    # the same base version both build v{N+1}; the PUBLISH is an atomic
+    # os.link (create-exclusive on every POSIX fs) so exactly one wins; the
+    # loser re-reads the winner's metadata, rebases its manifest onto the
+    # new current snapshot, and retries at v{N+2} — a snapshot can be
+    # retried or conflict loudly, never silently lost. (A real catalog does
+    # this swap server-side; HadoopTableOperations does exactly this
+    # rename-if-absent dance.) ----
+    for _attempt in range(10):
+        version = _current_version(table)
+        if version:
+            # load THE version just read (not _load_metadata, which re-derives
+            # the version and could pair a newer json with a stale number)
+            with open(os.path.join(_meta_dir(table),
+                                   f"v{version}.metadata.json")) as f:
+                cur = json.load(f)
+            cur_types = {f["name"]: f["type"] for f in cur["schema"]["fields"]}
+            if cur_types != got:
+                raise ValueError(
+                    f"append schema mismatch after concurrent commit: table "
+                    f"has {cur_types}, got {got}")
+        else:
+            cur = meta  # first commit: the freshly-built create metadata
+        snap_id = len(cur["snapshots"]) + 1
+        for e in entries:
+            e["snapshot_id"] = snap_id
+        mpath = os.path.join(_meta_dir(table), f"m-{snap_id}-{token}.avro")
+        avro.write_container(
+            mpath, _manifest_schema(spec_fields), entries,
+            extra_meta={"schema": json.dumps(cur["schema"]).encode(),
+                        "partition-spec": json.dumps(
+                            cur["partition-specs"][0]["fields"]).encode(),
+                        "partition-spec-id": b"0",
+                        "format-version": b"1", "content": b"data"})
 
-    # ---- commit: new metadata json (tmp+rename), version hint last ----
-    meta["snapshots"] = meta["snapshots"] + [{
-        "snapshot-id": snap_id, "timestamp-ms": int(time.time() * 1000),
-        "manifest-list": lpath, "summary": {"operation": "append"},
-        "schema-id": 0,
-    }]
-    meta["current-snapshot-id"] = snap_id
-    meta["last-updated-ms"] = int(time.time() * 1000)
-    mjson = os.path.join(_meta_dir(table), f"v{version + 1}.metadata.json")
-    with open(mjson + ".tmp", "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(mjson + ".tmp", mjson)
-    hint = os.path.join(_meta_dir(table), "version-hint.text")
-    with open(hint + ".tmp", "w") as f:
-        f.write(str(version + 1))
-    os.replace(hint + ".tmp", hint)
-    return snap_id
+        # manifest list: current snapshot's manifests + the new one
+        manifests = []
+        if cur["current-snapshot-id"] != -1:
+            prev = next(s for s in cur["snapshots"]
+                        if s["snapshot-id"] == cur["current-snapshot-id"])
+            _, manifests = avro.read_container(prev["manifest-list"])
+        manifests = list(manifests) + [{
+            "manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries), "partitions": summaries,
+        }]
+        lpath = os.path.join(_meta_dir(table), f"snap-{snap_id}-{token}.avro")
+        avro.write_container(lpath, _MANIFEST_LIST_SCHEMA, manifests)
+
+        new_meta = dict(cur)
+        new_meta["snapshots"] = cur["snapshots"] + [{
+            "snapshot-id": snap_id, "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": lpath, "summary": {"operation": "append"},
+            "schema-id": 0,
+        }]
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        mjson = os.path.join(_meta_dir(table), f"v{version + 1}.metadata.json")
+        tmp = mjson + f".{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f, indent=1)
+        try:
+            os.link(tmp, mjson)  # atomic create-exclusive publish
+        except FileExistsError:
+            os.unlink(tmp)       # lost the race: rebase and retry
+            for p in (mpath, lpath):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            continue
+        os.unlink(tmp)
+        # hint last, monotonic (a slower racer must not regress it; readers
+        # also glob for the max committed version — _current_version)
+        hint = os.path.join(_meta_dir(table), "version-hint.text")
+        if _hint_value(hint) < version + 1:
+            with open(hint + f".{token}.tmp", "w") as f:
+                f.write(str(version + 1))
+            os.replace(hint + f".{token}.tmp", hint)
+        return snap_id
+    raise RuntimeError(
+        f"{table}: commit conflict persisted through 10 rebase attempts — "
+        "another writer is appending faster than this one can rebase")
+
+
+def _hint_value(hint: str) -> int:
+    try:
+        with open(hint) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
 
 
 def _fid(meta: dict, col: str) -> int:

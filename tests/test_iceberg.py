@@ -263,3 +263,71 @@ def test_append_schema_mismatch_rejected(spark, tmp_path):
     wrong = df.withColumn("extra", F.lit("x"))
     with pytest.raises(ValueError, match="schema mismatch"):
         ib.write_iceberg(spark, wrong, t, partition_col="bucket")
+
+
+def test_concurrent_appends_never_lose_a_snapshot(spark, tmp_path):
+    """Two appenders racing the SAME base version (aligned with a barrier at
+    the commit loop's version read, so the conflict is deterministic): the
+    atomic os.link publish lets exactly one win v(N+1); the loser must
+    REBASE onto the winner's snapshot and commit v(N+2) — both snapshots
+    present, total rows = sum, no lost update, no duplicate version."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "race")
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").alias("image_id"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+            F.concat(F.lit("cap-"), F.col("id")).alias("caption"))
+
+    ib.write_iceberg(spark, rows(0, 100), t, partition_col="bucket")
+
+    real = ib._current_version
+    bar = threading.Barrier(2, timeout=120)
+    tls = threading.local()
+
+    def aligned(table):
+        v = real(table)
+        if not getattr(tls, "synced", False):
+            tls.synced = True
+            bar.wait()       # both threads now hold the SAME base version
+            v = real(table)  # (still equal: neither has committed yet)
+        return v
+
+    results, errors = {}, []
+
+    def appender(name, lo, hi):
+        try:
+            results[name] = ib.write_iceberg(spark, rows(lo, hi), t,
+                                             partition_col="bucket")
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errors.append((name, e))
+
+    orig = ib._current_version
+    ib._current_version = aligned
+    try:
+        t1 = threading.Thread(target=appender, args=("a", 100, 250))
+        t2 = threading.Thread(target=appender, args=("b", 250, 300))
+        t1.start(); t2.start()
+        t1.join(timeout=300); t2.join(timeout=300)
+    finally:
+        ib._current_version = orig
+
+    assert not errors, errors
+    # both committed, with distinct snapshot ids 2 and 3 (order either way)
+    assert sorted(results.values()) == [2, 3], results
+    info = ib.table_info(t)
+    assert info["current-snapshot-id"] == 3
+    rows = [s["rows"] for s in info["snapshots"]]  # cumulative per snapshot
+    assert rows[0] == 100 and rows[2] == 300 and rows[1] in (150, 250), rows
+    assert ib.read_iceberg(spark, t).count() == 300
+    # snapshot isolation still holds through the rebase
+    assert ib.read_iceberg(spark, t, snapshot_id=1).count() == 100
+    # exactly one metadata json per version — nobody overwrote anybody
+    md = os.listdir(os.path.join(t, "metadata"))
+    versions = sorted(n for n in md if n.endswith(".metadata.json"))
+    assert versions == ["v1.metadata.json", "v2.metadata.json",
+                        "v3.metadata.json"]

@@ -72,8 +72,8 @@ def test_transliterate_cyrillic_greek_and_folding():
     # NFKD folding of Latin diacritics
     assert L.transliterate("Crêperie São João") == "Creperie Sao Joao"
     assert L.transliterate("Zürich") == "Zurich"
-    # untabled scripts pass through unchanged (honest partial)
-    assert L.transliterate("日本") == "日本"
+    # tabled Han romanizes; untabled scripts pass through (honest partial)
+    assert L.transliterate("日本") == "ri ben"
     assert L.transliterate(None) is None
 
 
@@ -95,8 +95,8 @@ def test_transliterate_kana_hepburn():
     assert L.transliterate("ヴァイオリン") == "vaiorin"
     # Hepburn n-apostrophe before vowels/y
     assert L.transliterate("しんや") == "shin'ya"
-    # mixed Han+kana: Han still passes through, kana romanizes
-    assert L.transliterate("東京タワー") == "東京tawaa"
+    # mixed Han+kana: tabled Han romanizes, kana romanizes
+    assert L.transliterate("東京タワー") == "dong jing tawaa"
 
 
 def test_transliterate_hangul_rr():
@@ -126,4 +126,40 @@ def test_latin_name_udf(spark):
     assert got[1] == "Moscow"
     assert got[2] == "Athen"
     assert got[3] and all(c.isascii() for c in got[3])
-    assert got[4] == "日本"
+    assert got[4] == "ri ben"
+
+
+def test_transliterate_han_pinyin_verified_subset():
+    """Han -> toneless pinyin for the verified table (VERDICT r3 #6).
+    Every vector is a romanization in universal published use (city names
+    on any world map, standard surname spellings); polyphonic characters
+    are deliberately absent from the table and must pass through."""
+    t = L.transliterate
+    assert t("北京") == "bei jing"
+    assert t("上海") == "shang hai"
+    assert t("广州") == "guang zhou"
+    assert t("深圳") == "shen zhen"
+    assert t("香港") == "xiang gang"
+    assert t("武汉") == "wu han"
+    assert t("西安") == "xi an"
+    assert t("哈尔滨") == "ha er bin"
+    assert t("乌鲁木齐") == "wu lu mu qi"
+    assert t("拉萨") == "la sa"
+    assert t("石家庄") == "shi jia zhuang"
+    assert t("郑州") == "zheng zhou"
+    assert t("济南") == "ji nan"
+    assert t("昆明") == "kun ming"
+    assert t("桂林") == "gui lin"
+    assert t("中国") == "zhong guo"
+    assert t("中國") == "zhong guo"  # traditional variant
+    assert t("人民路") == "ren min lu"
+    assert t("王") == "wang" and t("张") == "zhang" and t("刘") == "liu"
+    # boundaries: spaces only between readings and adjacent alphanumerics
+    assert t("北京west") == "bei jing west"
+    assert t("West北京") == "West bei jing"
+    assert t("北京, China") == "bei jing, China"
+    # ü folds to u through the shared diacritic pass
+    assert t("绿") == "lu"
+    # polyphones (重/都/长/沈/厦/朝) are NOT in the table: pass through
+    assert t("重") == "重"
+    assert t("北重") == "bei 重"

@@ -94,3 +94,28 @@ def test_hilbert_column_golden(spark):
             row.layer_geometries, row.layer_attr_bytes,
             row.layer_attr_keys, row.layer_attr_values) == \
         ("layer", 55, 1, 1, 18, 2, 2)
+
+
+def test_pipeline_cli_layerstats_without_osm(tmp_path):
+    """`pipeline --layerstats` on the images flagship (VERDICT r3 #9): the
+    TSV lands next to the tiles parquet with the reference's golden header."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    out = tmp_path / "t"
+    res = subprocess.run(
+        [sys.executable, "-m", "planetiler_spark.plans.pipeline",
+         "--n", "60", "--maxzoom", "3", "--cpus", "2",
+         "--out", str(out), "--layerstats"],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(Path(__file__).parent.parent))
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    path = summary["layerstats"]
+    with gzip.open(path, "rt") as f:
+        lines = f.read().splitlines()
+    assert lines[0] == ts.HEADER.strip()
+    assert len(lines) == 1 + summary["layerstats_rows"]
+    assert summary["layerstats_rows"] == summary["n_tiles"]
