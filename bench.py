@@ -16,8 +16,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
-    # flagship pipeline (tiles/sec numerator)
+    # flagship pipeline (tiles/sec numerator): the shipped default transport
+    # (row path, scaling-record holder) AND the opt-in packed transport —
+    # byte-identical outputs, both on record (round-4 transport policy,
+    # tile_pipeline._packed_default)
     "images_tileset",
+    "images_tileset_packed",
     "raster_tile_patches",
     # tiling core
     "tile_assign_z14",
@@ -80,9 +84,10 @@ def main():
     # knn_bruteforce 11.1->16.3s "regression" was unreproducible host noise;
     # VERDICT r2 #4 asked for the extra rep)
     REPS = {"knn_bruteforce": 3, "knn_grid": 3,
-            # the two image-pipeline rows derive the headline per-core
+            # the image-pipeline rows derive the headline per-core
             # throughput numbers — worth a third rep against the host swings
-            "images_tileset": 3, "raster_tile_patches": 3}
+            "images_tileset": 3, "images_tileset_packed": 3,
+            "raster_tile_patches": 3}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # knn_bruteforce/knn_grid are timed separately here but share one
@@ -128,6 +133,8 @@ def main():
     pip_rows_sec = round(n_pip_rows / timings["pip_zones_overlap"], 1) if timings["pip_zones_overlap"] else None
     mvt_tiles_sec = (round(n_mvt_tiles / timings["images_tileset"], 1)
                      if timings.get("images_tileset") else None)
+    mvt_tiles_sec_packed = (round(n_mvt_tiles / timings["images_tileset_packed"], 1)
+                            if timings.get("images_tileset_packed") else None)
     out = {
         "metric": "total seconds for headline tiling+join+dedup queries (noop sink)",
         "value": total,
@@ -137,6 +144,7 @@ def main():
         "cpus": int(cpus),
         "tiles_per_sec": tiles_sec,
         "mvt_tiles_per_sec": mvt_tiles_sec,
+        "mvt_tiles_per_sec_packed": mvt_tiles_sec_packed,
         "pip_join_rows_per_sec": pip_rows_sec,
         "n_tiles": int(n_tiles),
         "n_mvt_tiles": int(n_mvt_tiles),

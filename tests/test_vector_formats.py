@@ -113,7 +113,7 @@ def test_end_to_end_shapefile_to_tiles(spark, shp_dir):
 layers:
 - id: stations
   features:
-  - include_when: {name: ""}
+  - include_when: {name: __any__}
     attributes:
     - key: label
       tag_value: name

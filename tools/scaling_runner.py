@@ -60,8 +60,11 @@ def main():
     images.count()  # warm FS cache + JVM before timing
 
     # --- job 1: vector tileset (tiles/sec) ---
-    # SPARK_GRAFT_PACKED=0 forces the row-shaped transport — used for PAIRED
-    # control runs that separate host-window noise from code effects
+    # The scaling runner measures the PACKED transport by default (the path
+    # whose N-vs-4N record is being built); SPARK_GRAFT_PACKED=0 forces the
+    # row-shaped transport for PAIRED control runs that separate host-window
+    # noise from code effects. NOTE: the library default is the ROW path
+    # (tile_pipeline._packed_default — round-4 transport policy).
     packed = os.environ.get("SPARK_GRAFT_PACKED", "1") != "0"
     t0 = time.time()
     tiles = tp.tileset(spark, images, 0, args.maxzoom,
