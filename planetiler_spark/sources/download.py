@@ -1,0 +1,266 @@
+"""Download/bootstrap utilities — util/Downloader.java:65-345 and
+util/Geofabrik.java:26-134 re-expressed with the stdlib HTTP client.
+
+Semantics ported:
+  - HEAD with redirect following (max 5), content-length + Accept-Ranges
+    detection (Downloader.httpHead:243-263);
+  - chunked RANGED download: the tmp file is pre-sized, fixed-size ranges
+    are fetched concurrently by a bounded thread pool and written at their
+    offsets, each range retries independently with its progress counter
+    rewound (httpDownload:264-336), then one atomic rename publishes;
+  - up-to-date skip when the existing output's size equals the remote size
+    (downloadIfNecessary:196-200);
+  - Geofabrik index search: token-set match on ids, then exact name, then
+    approximate name, each tier erroring on multiple matches
+    (Geofabrik.searchIndexForDownloadUrl:73-103).
+
+No network exists in this sandbox, so tests drive everything against an
+in-process HTTP server (tests/test_download.py) — the same way the
+pushgateway client is verified.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+MAX_REDIRECTS = 5  # Downloader.java:67
+DEFAULT_CHUNK_SIZE = 64 * 1024 * 1024
+USER_AGENT = "planetiler_spark-downloader"
+
+
+@dataclass
+class ResourceMetadata:
+    """Downloader.ResourceMetadata:348."""
+    canonical_url: str
+    size: int | None
+    accept_range: bool
+
+
+def _head_once(url: str, timeout: float) -> tuple[ResourceMetadata, str | None]:
+    req = urllib.request.Request(url, method="HEAD",
+                                 headers={"User-Agent": USER_AGENT})
+    # handle redirects manually so MAX_REDIRECTS is enforced like the
+    # reference (urllib would follow silently)
+    opener = urllib.request.build_opener(_NoRedirect())
+    try:
+        resp = opener.open(req, timeout=timeout)
+    except urllib.error.HTTPError as e:
+        if 300 <= e.code < 400:
+            loc = e.headers.get("Location")
+            if not loc:
+                raise IOError(f"received {e.code} but no location header from {url}")
+            return ResourceMetadata(url, None, False), loc
+        raise
+    if resp.status != 200:
+        raise IOError(f"bad response: {resp.status}")
+    cl = resp.headers.get("Content-Length")
+    accept = "bytes" in (resp.headers.get_all("Accept-Ranges") or [])
+    return ResourceMetadata(url, int(cl) if cl is not None else None, accept), None
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
+def head(url: str, timeout: float = 30.0) -> ResourceMetadata:
+    """HEAD following up to MAX_REDIRECTS redirects
+    (httpHeadFollowRedirects:236-241)."""
+    from urllib.parse import urljoin
+    for _ in range(MAX_REDIRECTS + 1):
+        meta, redirect = _head_once(url, timeout)
+        if redirect is None:
+            meta.canonical_url = url  # GETs go to the post-redirect URL
+            return meta
+        url = urljoin(url, redirect)
+    raise IOError(f"exceeded {MAX_REDIRECTS} redirects for {url}")
+
+
+def open_stream(url: str, timeout: float = 30.0, start: int | None = None,
+                end: int | None = None):
+    """GET, optionally with a half-open [start, end) Range header
+    (openStreamRange:115)."""
+    headers = {"User-Agent": USER_AGENT}
+    if start is not None:
+        headers["Range"] = f"bytes={start}-{end - 1}"
+    req = urllib.request.Request(url, headers=headers)
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+class Progress:
+    """Thread-safe downloaded-bytes counter (rewindable on chunk retry)."""
+
+    def __init__(self):
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def inc(self, n: int):
+        with self._lock:
+            self._n += n
+
+    @property
+    def bytes(self) -> int:
+        with self._lock:
+            return self._n
+
+
+def download(url: str, output: str, threads: int = 4,
+             chunk_size: int = DEFAULT_CHUNK_SIZE, retries: int = 2,
+             retry_wait: float = 1.0, timeout: float = 30.0,
+             progress: Progress | None = None) -> int:
+    """Download `url` to `output` (Downloader.downloadIfNecessary +
+    httpDownload). Returns bytes downloaded (0 = already up to date)."""
+    meta = head(url, timeout)
+    try:
+        if meta.size is not None and os.path.getsize(output) == meta.size:
+            return 0  # already up-to-date (:196-200)
+    except OSError:
+        pass
+    progress = progress or Progress()
+    url = meta.canonical_url  # Downloader downloads from canonicalUrl (:267)
+    tmp = output + "_inprogress"
+    os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
+
+    ranged = meta.accept_range and threads > 1 and meta.size is not None
+    size = meta.size if meta.size is not None else None
+    if ranged:
+        chunks = [(s, min(s + chunk_size, size))
+                  for s in range(0, size, chunk_size)]
+    else:
+        chunks = [(0, size)]
+
+    # pre-size the tmp file so every chunk writes at its own offset
+    with open(tmp, "wb") as f:
+        f.truncate(size or 1)
+
+    def fetch(rng):
+        start, end = rng
+        for attempt in range(retries + 1):
+            wrote = 0
+            try:
+                with open(tmp, "r+b") as fc:
+                    fc.seek(start)
+                    src = (open_stream(url, timeout, start, end)
+                           if ranged or start > 0 else open_stream(url, timeout))
+                    with src:
+                        offset = start
+                        while end is None or offset < end:
+                            buf = src.read(16384)
+                            if not buf:
+                                break
+                            fc.write(buf)
+                            offset += len(buf)
+                            wrote += len(buf)
+                            progress.inc(len(buf))
+                    if end is not None and offset < end:
+                        raise IOError(f"unexpected EOF at {offset}/{end}")
+                return
+            except IOError:
+                if attempt == retries:
+                    raise
+                progress.inc(-wrote)  # rewind the counter (:329)
+                time.sleep(retry_wait)
+
+    try:
+        if len(chunks) == 1:
+            fetch(chunks[0])
+        else:
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                for f in [pool.submit(fetch, c) for c in chunks]:
+                    f.result()
+        os.replace(tmp, output)  # atomic publish
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    return progress.bytes
+
+
+class Downloader:
+    """Multi-resource downloader (Downloader.add:144 / run:162): resources
+    download concurrently, each chunked internally; per-id progress counters
+    are exposed for a ProgressLogger."""
+
+    def __init__(self, threads: int = 4, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                 retries: int = 2, retry_wait: float = 1.0):
+        self.threads = threads
+        self.chunk_size = chunk_size
+        self.retries = retries
+        self.retry_wait = retry_wait
+        self._items: list[tuple[str, str, str]] = []
+        self.progress: dict[str, Progress] = {}
+
+    def add(self, id: str, url: str, output: str) -> "Downloader":
+        self._items.append((id, url, output))
+        self.progress[id] = Progress()
+        return self
+
+    def run(self):
+        with ThreadPoolExecutor(max_workers=max(len(self._items), 1)) as pool:
+            futs = [pool.submit(download, url, out, self.threads,
+                                self.chunk_size, self.retries,
+                                self.retry_wait, 30.0, self.progress[i])
+                    for i, url, out in self._items]
+            for f in futs:
+                f.result()
+
+
+# --- Geofabrik catalog (util/Geofabrik.java) ---------------------------------
+
+GEOFABRIK_INDEX_URL = "https://download.geofabrik.de/index-v1-nogeom.json"
+_TOKEN_SPLIT = re.compile(r"[^a-z]+")
+
+
+def _tokenize(s: str) -> frozenset[str]:
+    return frozenset(t for t in _TOKEN_SPLIT.split(s.lower()) if t)
+
+
+def geofabrik_search(search: str, index) -> str:
+    """index-v1-nogeom.json search (searchIndexForDownloadUrl:73-103):
+    exact-id match beats exact-name beats approximate-name; >1 match in the
+    winning tier is an error. `index` is the parsed JSON dict or text."""
+    if isinstance(index, (str, bytes)):
+        index = json.loads(index)
+    tokens = _tokenize(search)
+    ids, exact, approx = [], [], []
+    for feature in index.get("features", []):
+        p = feature.get("properties", {})
+        urls = p.get("urls", {})
+        if "pbf" not in urls:
+            continue
+        # PropertiesJson.ids():119-128 = [id, name, iso3166-1, iso3166-2]
+        cand_ids = [p.get("id", ""), p.get("name", "")] \
+            + list(p.get("iso3166-1:alpha2") or []) \
+            + list(p.get("iso3166-2") or [])
+        if any(_tokenize(c) == tokens for c in cand_ids if c):
+            ids.append(p)
+        elif _tokenize(p.get("name", "")) == tokens:
+            exact.append(p)
+        elif _tokenize(p.get("name", "")) >= tokens:
+            approx.append(p)
+    for tier, values in (("exact ID matches", ids),
+                         ("exact name matches", exact),
+                         ("approximate name matches", approx)):
+        if len(values) > 1:
+            raise ValueError(f"Multiple {tier} for '{search}': "
+                             + ", ".join(v["id"] for v in values))
+        if values:
+            return values[0]["urls"]["pbf"]
+    raise ValueError(f"No matches for '{search}'")
+
+
+def geofabrik_download_url(search: str, index_url: str = GEOFABRIK_INDEX_URL,
+                           timeout: float = 30.0) -> str:
+    """Resolve a `--download` area name to its .osm.pbf URL
+    (Geofabrik.getDownloadUrl:46)."""
+    with open_stream(index_url, timeout) as f:
+        return geofabrik_search(search, f.read().decode())
