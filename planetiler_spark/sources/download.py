@@ -264,3 +264,77 @@ def geofabrik_download_url(search: str, index_url: str = GEOFABRIK_INDEX_URL,
     (Geofabrik.getDownloadUrl:46)."""
     with open_stream(index_url, timeout) as f:
         return geofabrik_search(search, f.read().decode())
+
+
+# --- AWS S3 public OSM buckets (util/AwsOsm.java:25-99) -----------------------
+
+OSM_PDS_URL = "https://osm-pds.s3.amazonaws.com/"
+OVERTURE_URL = "https://overturemaps-us-west-2.s3.amazonaws.com/"
+MAX_S3_PAGES = 100  # AwsOsm.java:26
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_s3_index(xml_text) -> tuple[list[str], str | None]:
+    """One ListObjectsV2 page -> (keys, continuation token or None)
+    (AwsOsm.IndexXml/ContentXml, namespace-tolerant)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml_text)
+    keys, token, truncated = [], None, False
+    for child in root:
+        tag = _strip_ns(child.tag)
+        if tag == "Contents":
+            for sub in child:
+                if _strip_ns(sub.tag) == "Key":
+                    keys.append(sub.text or "")
+        elif tag == "NextContinuationToken":
+            token = child.text
+        elif tag == "IsTruncated":
+            truncated = (child.text or "").strip().lower() == "true"
+    return keys, (token if truncated else None)
+
+
+def list_s3_bucket(bucket_url: str, timeout: float = 30.0) -> list[str]:
+    """Page through ?list-type=2 with continuation tokens
+    (AwsOsm.getAndCacheIndex:54-75)."""
+    from urllib.parse import quote
+    keys: list[str] = []
+    next_param = ""
+    for page in range(MAX_S3_PAGES + 1):
+        if page == MAX_S3_PAGES:
+            raise ValueError(f"Too many entries in {bucket_url} to page through")
+        with open_stream(f"{bucket_url}?list-type=2{next_param}", timeout) as f:
+            page_keys, token = parse_s3_index(f.read())
+        keys.extend(page_keys)
+        if token is None:
+            return keys
+        next_param = "&continuation-token=" + quote(token)
+    return keys
+
+
+def aws_osm_search(search: str, keys: list[str],
+                   bucket_url: str = OSM_PDS_URL) -> str:
+    """'latest' -> lexicographically last .osm.pbf; else the unique
+    `/planet-<search>.osm.pbf` (AwsOsm.searchIndexForDownloadUrl:80-99)."""
+    if search.lower() == "latest":
+        cands = sorted(bucket_url + k for k in keys if k.endswith(".osm.pbf"))
+        if not cands:
+            raise ValueError("Unable to find latest AWS osm download URL")
+        return cands[-1]
+    results = [bucket_url + k for k in keys
+               if k.endswith(f"/planet-{search}.osm.pbf")]
+    if not results:
+        raise ValueError(f"Unable to find AWS osm download URL for {search}")
+    if len(results) > 1:
+        raise ValueError(
+            f"Found multiple AWS osm download URLs for {search}: {results}")
+    return results[0]
+
+
+def aws_osm_download_url(search: str, bucket_url: str = OSM_PDS_URL,
+                         timeout: float = 30.0) -> str:
+    """AwsOsm.getDownloadUrl:49 — resolve `--download planet:latest` etc."""
+    return aws_osm_search(search, list_s3_bucket(bucket_url, timeout),
+                          bucket_url)

@@ -276,3 +276,53 @@ def test_download_follows_redirect_to_canonical(server, tmp_path):
     # the ranged GETs hit the canonical /file URL, not /redirect
     gets = [r for r in _FileServer.requests if r[0] == "GET"]
     assert gets and all(p == "/file" for _, p, _ in gets)
+
+
+# --- AWS S3 bucket index (AwsOsm.java) -----------------------------------------
+
+S3_PAGE1 = """<?xml version="1.0" encoding="UTF-8"?>
+<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+  <IsTruncated>true</IsTruncated>
+  <NextContinuationToken>tok+1</NextContinuationToken>
+  <Contents><Key>2021/planet-210426.osm.pbf</Key></Contents>
+  <Contents><Key>2021/planet-210426.osm.pbf.md5</Key></Contents>
+</ListBucketResult>"""
+S3_PAGE2 = """<?xml version="1.0" encoding="UTF-8"?>
+<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+  <IsTruncated>false</IsTruncated>
+  <Contents><Key>2021/planet-210503.osm.pbf</Key></Contents>
+</ListBucketResult>"""
+
+
+class _S3(BaseHTTPRequestHandler):
+    def do_GET(self):
+        body = (S3_PAGE2 if "continuation-token=tok%2B1" in self.path
+                else S3_PAGE1).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_aws_osm_pagination_and_search():
+    srv = HTTPServer(("127.0.0.1", 0), _S3)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        bucket = f"http://127.0.0.1:{srv.server_port}/"
+        keys = dl.list_s3_bucket(bucket)
+        assert keys == ["2021/planet-210426.osm.pbf",
+                        "2021/planet-210426.osm.pbf.md5",
+                        "2021/planet-210503.osm.pbf"]
+        assert dl.aws_osm_search("latest", keys, bucket).endswith(
+            "planet-210503.osm.pbf")
+        assert dl.aws_osm_search("210426", keys, bucket).endswith(
+            "planet-210426.osm.pbf")
+        with pytest.raises(ValueError, match="Unable to find"):
+            dl.aws_osm_search("999999", keys, bucket)
+        assert dl.aws_osm_download_url("latest", bucket).endswith(
+            "planet-210503.osm.pbf")
+    finally:
+        srv.shutdown()
