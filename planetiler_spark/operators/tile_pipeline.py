@@ -84,11 +84,28 @@ def _partial_thin(out: pd.DataFrame, thin_limit: int, cell: int) -> pd.DataFrame
 
 def render_features(images: DataFrame, min_zoom: int = 0,
                     max_zoom: int = MAX_ZOOM, thin_limit: int | None = None,
-                    grid_px: int = 32, counters=None) -> DataFrame:
+                    grid_px: int = 32, counters=None,
+                    partitions: int | None = None) -> DataFrame:
     """images -> per-(feature, zoom, tile) rows in the sorted-KV model.
-    thin_limit applies the map-side partial label-grid cap (see _partial_thin)."""
+    thin_limit applies the map-side partial label-grid cap (see _partial_thin).
+
+    With `partitions` set, each row also carries its analytic range-exchange
+    token (partitioning.py) so the ROW-path tile shuffle doubles as the
+    archive-order sort — the same trick the packed path and the zones path
+    use, eliminating the output repartitionByRange whose boundary sampling
+    re-executes this whole stage (measured 5.5s vs 3.8s at sf0.1)."""
+    from . import partitioning as pt
+
     zooms = range(min_zoom, max_zoom + 1)
     cell = grid_px * 4096 // 256
+    schema = FEATURES_SCHEMA
+    boundaries = bucket_tok = tok_name = None
+    if partitions is not None:
+        rp = int(partitions)
+        boundaries, pid = pt.tile_range_partitioning(min_zoom, max_zoom, rp)
+        bucket_tok = pt.partition_tokens(images.sparkSession, rp)[pid]
+        tok_name = pt.token_col(rp)
+        schema = f"{FEATURES_SCHEMA}, {tok_name} long"
 
     def gen(batches):
         for pdf in batches:
@@ -104,12 +121,16 @@ def render_features(images: DataFrame, min_zoom: int = 0,
             out["sort_key"] = sort_key[idx]
             if thin_limit is not None:
                 out = _partial_thin(out, thin_limit, cell)
+            if tok_name is not None:
+                bk = np.searchsorted(boundaries, out["tile_id"].to_numpy(),
+                                     side="right") - 1
+                out[tok_name] = bucket_tok[bk]
             if counters is not None:  # one accumulator add per Arrow batch
                 counters.add("features", len(out))
             yield out
 
     cols = [c for c in images.columns if c != "bytes"]  # column pruning: no pixels in the vector path
-    return images.select(*cols).mapInPandas(gen, FEATURES_SCHEMA)
+    return images.select(*cols).mapInPandas(gen, schema)
 
 
 def _packed_schema(p: int) -> str:
@@ -550,9 +571,15 @@ def encode_vector_tiles(feats: DataFrame, partitions: int | None = None,
     Costs no extra shuffle; use the standalone `label_grid_thin` (salted
     windows) instead when data must shrink BEFORE the shuffle."""
     import pyarrow as pa
+
+    from . import partitioning as pt
     cell = grid_px * mvt.EXTENT // 256
     p = partitions or feats.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    shuffled = (feats.repartition(int(p), "tile_id")
+    # a tok column (render_features(partitions=...)) turns this hash exchange
+    # into an exact RANGE exchange: partitions ascend with tile-id range, so
+    # the per-partition sort below yields TOTAL zoom-major order for free
+    key = pt.resolve_token_col(feats.columns, int(p)) or "tile_id"
+    shuffled = (feats.repartition(int(p), key)
                 .sortWithinPartitions("tile_id", "key", "image_id"))
 
     def reduce_tiles(chunks: list[pa.RecordBatch]):
@@ -1011,15 +1038,21 @@ def tileset(spark: SparkSession, images: DataFrame, min_zoom: int = 0,
         return encode_vector_tiles_packed(feats, partitions=p,
                                           thin_limit=thin_limit,
                                           counters=counters)
+    p = int(shuffle_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions"))
+    # ordered row path rides the analytic range tokens through the one tile
+    # shuffle (same as the packed/zones paths) — the old output
+    # repartitionByRange's boundary sampling re-executed the entire render
+    use_tok = ordered and not pre_thin
     feats = render_features(images, min_zoom, max_zoom, thin_limit=thin_limit,
-                            counters=counters)
+                            counters=counters,
+                            partitions=p if use_tok else None)
     if pre_thin and thin_limit is not None:
         feats = label_grid_thin(feats, limit=thin_limit)
-    tiles = encode_vector_tiles(feats, partitions=shuffle_partitions,
+    tiles = encode_vector_tiles(feats, partitions=p,
                                 thin_limit=thin_limit, counters=counters)
-    if ordered:
-        # zoom-major spatially-clustered archive order (TileOrder TMS); tiny
-        # output table, cheap range partition + in-partition sort
+    if ordered and not use_tok:
+        # pre_thin fallback: zoom-major order via a (tiny) output range sort
         tiles = tiles.repartitionByRange(16, "tile_id").sortWithinPartitions("tile_id")
     return tiles
 
