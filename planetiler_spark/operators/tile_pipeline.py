@@ -995,7 +995,8 @@ def _packed_default() -> bool:
     """Transport default (round-4 policy, VERDICT r3 #1): the ROW path is
     the default because it owns the >=0.8 N-vs-4N scaling record (twelve-run
     medians 0.845/0.953, BENCH/BASELINE.md); the bucket-PACKED transport —
-    ~1.9x faster at bench scale, byte-identical output by test — is opt-in
+    ~1.2x faster at bench scale once the row path rides the range tokens
+    too (1.59s vs 1.95s at sf0.1), byte-identical output by test — is opt-in
     via SPARK_GRAFT_PACKED=1 or tileset(packed=True) until it owns a
     clean-window >=0.8 median of its own. (Round-4 same-night controls show
     both paths converge at this single-socket host's DRAM ceiling at 24
