@@ -321,12 +321,16 @@ def _leaf_column(tags: Column, key: str, val,
     # NOTE: a boolean leaf (e.g. `tunnel: true`) is an EXACT string match on
     # its canonical spelling (Expression.MatchAny.from:404-423 stringifies
     # with String.valueOf -> "true"/"false"); canon_tag below mirrors that.
+    # The presence/missing checks read the MAPPED input tag when the key has a
+    # tag_mapping rename (TagValueProducer.java:34-41: the getter reads the
+    # `input:` tag, not the output key), same as the typed-comparison branch.
+    ik = mappings[key][0] if (mappings and key in mappings) else key
     if _is_any(val):
-        return tags.getItem(key).isNotNull()
+        return tags.getItem(ik).isNotNull()
     if val == "":
         # matchWhenMissing (Expression.java:423,485): `key: ""` matches
         # features where the tag is missing or empty
-        v = tags.getItem(key)
+        v = tags.getItem(ik)
         return v.isNull() | (v == "")
     if mappings and key in mappings:
         ik, typ = mappings[key]
@@ -455,11 +459,13 @@ def _sql_quote(s: str) -> str:
 
 def _leaf_sql(colmap: dict[str, str], key: str, val,
               mappings: dict | None = None) -> str:
+    ik = mappings[key][0] if (mappings and key in mappings) else key
     if _is_any(val):
-        return f"{colmap[key]} IS NOT NULL"
+        return f"{colmap[ik]} IS NOT NULL"
     if val == "":
-        # matchWhenMissing: tag missing or empty
-        return f"({colmap[key]} IS NULL OR {colmap[key]} = '')"
+        # matchWhenMissing: tag missing or empty (reads the mapped input tag,
+        # TagValueProducer.java:34-41 — keep in lockstep with _leaf_column)
+        return f"({colmap[ik]} IS NULL OR {colmap[ik]} = '')"
     if mappings and key in mappings:
         ik, typ = mappings[key]
         conv = convert_sql(colmap[ik], typ)
@@ -480,7 +486,11 @@ def _leaf_sql(colmap: dict[str, str], key: str, val,
         return f"({col} IS NOT NULL AND position({_sql_quote(s[1:-1])} IN {col}) > 0)"
     rx = _wildcard_regex(s)
     if rx is not None:
-        return f"COALESCE(regexp_extract({col}, {_sql_quote(rx)}, 0) <> '', FALSE)"
+        # regexp_matches (not regexp_extract(...) <> ''): an empty whole-match
+        # (e.g. pattern `^.*$` on an empty tag value) IS a match — Spark's
+        # rlike says TRUE, and the extracted-text comparison would say FALSE,
+        # a cross-engine gate hash mismatch waiting to happen.
+        return f"COALESCE(regexp_matches({col}, {_sql_quote(rx)}), FALSE)"
     return f"COALESCE({col} = {_sql_quote(s)}, FALSE)"
 
 

@@ -69,19 +69,24 @@ def _parse_wkt_rings(wkt: str) -> list[list[list[tuple[float, float]]]]:
     head = wkt.strip().split("(")[0].strip().upper()
     if head not in ("POLYGON", "MULTIPOLYGON"):
         return []
-    ring_texts = _re.findall(r"\(([^()]+)\)", wkt)
-    rings = []
-    for t in ring_texts:
-        pts = []
-        for pair in t.split(","):
-            xy = pair.split()
-            pts.append((float(xy[0]), float(xy[1])))
-        rings.append(pts)
+    def _rings(text: str) -> list[list[tuple[float, float]]]:
+        out = []
+        for t in _re.findall(r"\(([^()]+)\)", text):
+            pts = []
+            for pair in t.split(","):
+                xy = pair.split()
+                pts.append((float(xy[0]), float(xy[1])))
+            out.append(pts)
+        return out
+
     if head == "POLYGON":
-        return [rings]
-    # MULTIPOLYGON: WKT nesting is lost by the flat regex; treat each ring
-    # as its own shell (holes unsupported here — fine for validation specs)
-    return [[r] for r in rings]
+        return [_rings(wkt)]
+    # MULTIPOLYGON: preserve the shell/hole grouping — each `((...),(...))`
+    # group is one polygon whose first ring is the shell and the rest holes
+    # (a flat ring list would ADD hole areas to feature.area instead of
+    # subtracting them).
+    groups = _re.findall(r"\(\s*\([^()]*\)(?:\s*,\s*\([^()]*\))*\s*\)", wkt)
+    return [_rings(g) for g in groups]
 
 
 def _example_area_m2(geometry: str) -> float:

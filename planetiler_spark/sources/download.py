@@ -112,12 +112,21 @@ class Progress:
             return self._n
 
 
+class _RangeUnsupported(IOError):
+    """Server advertised Accept-Ranges but answered a ranged GET with 200
+    (full body) — fall back to one single-stream download instead of letting
+    every chunk write the whole body at its own offset concurrently."""
+
+
 def download(url: str, output: str, threads: int = 4,
              chunk_size: int = DEFAULT_CHUNK_SIZE, retries: int = 2,
              retry_wait: float = 1.0, timeout: float = 30.0,
-             progress: Progress | None = None) -> int:
+             progress: Progress | None = None,
+             _limiter: threading.Semaphore | None = None) -> int:
     """Download `url` to `output` (Downloader.downloadIfNecessary +
-    httpDownload). Returns bytes downloaded (0 = already up to date)."""
+    httpDownload). Returns bytes downloaded (0 = already up to date).
+    `_limiter` caps in-flight chunk fetches across concurrent resources
+    (Downloader.java runs everything on ONE bounded executor)."""
     meta = head(url, timeout)
     try:
         if meta.size is not None and os.path.getsize(output) == meta.size:
@@ -137,20 +146,28 @@ def download(url: str, output: str, threads: int = 4,
     else:
         chunks = [(0, size)]
 
-    # pre-size the tmp file so every chunk writes at its own offset
+    # pre-size the tmp file so every chunk writes at its own offset (0 when
+    # the size is unknown — a 0-byte body must publish a 0-byte file, not a
+    # 1-byte NUL placeholder)
     with open(tmp, "wb") as f:
-        f.truncate(size or 1)
+        f.truncate(size or 0)
 
-    def fetch(rng):
+    import contextlib
+    limiter = _limiter or contextlib.nullcontext()
+
+    def fetch(rng, use_range):
         start, end = rng
         for attempt in range(retries + 1):
             wrote = 0
             try:
-                with open(tmp, "r+b") as fc:
+                with limiter, open(tmp, "r+b") as fc:
                     fc.seek(start)
                     src = (open_stream(url, timeout, start, end)
-                           if ranged or start > 0 else open_stream(url, timeout))
+                           if use_range else open_stream(url, timeout))
                     with src:
+                        if use_range and src.status != 206 \
+                                and not src.headers.get("Content-Range"):
+                            raise _RangeUnsupported(url)
                         offset = start
                         while end is None or offset < end:
                             buf = src.read(16384)
@@ -160,9 +177,15 @@ def download(url: str, output: str, threads: int = 4,
                             offset += len(buf)
                             wrote += len(buf)
                             progress.inc(len(buf))
+                        if end is None:
+                            # streamed unknown-size body: trim the tail a
+                            # shorter retry could otherwise leave behind
+                            fc.truncate(offset)
                     if end is not None and offset < end:
                         raise IOError(f"unexpected EOF at {offset}/{end}")
                 return
+            except _RangeUnsupported:
+                raise
             except IOError:
                 if attempt == retries:
                     raise
@@ -170,12 +193,20 @@ def download(url: str, output: str, threads: int = 4,
                 time.sleep(retry_wait)
 
     try:
-        if len(chunks) == 1:
-            fetch(chunks[0])
-        else:
-            with ThreadPoolExecutor(max_workers=threads) as pool:
-                for f in [pool.submit(fetch, c) for c in chunks]:
-                    f.result()
+        try:
+            if len(chunks) == 1:
+                fetch(chunks[0], ranged)
+            else:
+                with ThreadPoolExecutor(max_workers=threads) as pool:
+                    for f in [pool.submit(fetch, c, True) for c in chunks]:
+                        f.result()
+        except _RangeUnsupported:
+            # one plain GET from scratch (the concurrent 200-bodied chunk
+            # writes may have scribbled anywhere in tmp)
+            progress.inc(-progress.bytes)
+            with open(tmp, "wb") as f:
+                f.truncate(size or 0)
+            fetch((0, size), False)
         os.replace(tmp, output)  # atomic publish
     finally:
         try:
@@ -205,10 +236,15 @@ class Downloader:
         return self
 
     def run(self):
+        # one shared permit pool across ALL resources: total in-flight chunk
+        # fetches never exceed `threads` (Downloader.java uses one bounded
+        # executor; without this, connections = resources x threads)
+        limiter = threading.Semaphore(self.threads)
         with ThreadPoolExecutor(max_workers=max(len(self._items), 1)) as pool:
             futs = [pool.submit(download, url, out, self.threads,
                                 self.chunk_size, self.retries,
-                                self.retry_wait, 30.0, self.progress[i])
+                                self.retry_wait, 30.0, self.progress[i],
+                                limiter)
                     for i, url, out in self._items]
             for f in futs:
                 f.result()

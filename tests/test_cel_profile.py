@@ -117,6 +117,55 @@ def test_typed_matching(spark):
     assert got == {4}  # Parse.bool: only no/false/0 are false; missing = null
 
 
+def test_mapped_key_missing_and_any_read_input_tag(spark):
+    """ADVICE r4: `key: ""` (match-when-missing) and `key: __any__` must read
+    the tag_mappings INPUT tag (TagValueProducer.java:34-41), not the output
+    key — in BOTH dialects."""
+    import duckdb
+    rows = [(1, {"nc": "5"}), (2, {"chars": "5"}), (3, {"nc": ""}), (4, {})]
+    df = spark.createDataFrame(rows, "id int, tags map<string,string>")
+    mappings = {"chars": ("nc", "long")}
+    # match-when-missing: rows whose INPUT tag `nc` is missing or EMPTY =
+    # {2, 3, 4} (row 3 carries nc="")
+    got = {r.id for r in df.filter(
+        pr._leaf_column(F.col("tags"), "chars", "", mappings)).collect()}
+    assert got == {2, 3, 4}
+    # presence: rows that HAVE the input tag = {1, 3}
+    got = {r.id for r in df.filter(
+        pr._leaf_column(F.col("tags"), "chars", "__any__", mappings)).collect()}
+    assert got == {1, 3}
+    # DuckDB side agrees (colmap keyed by input tag name)
+    con = duckdb.connect()
+    flat = df.select("id", F.col("tags").getItem("nc").alias("nc"),
+                     F.col("tags").getItem("chars").alias("chars")).toPandas()
+    con.register("flat", flat)
+    colmap = {"nc": "nc", "chars": "chars"}
+    sql = pr._leaf_sql(colmap, "chars", "", mappings)
+    assert {r[0] for r in con.execute(
+        f"SELECT id FROM flat WHERE {sql}").fetchall()} == {2, 3, 4}
+    sql = pr._leaf_sql(colmap, "chars", "__any__", mappings)
+    assert {r[0] for r in con.execute(
+        f"SELECT id FROM flat WHERE {sql}").fetchall()} == {1, 3}
+
+
+def test_wildcard_empty_value_cross_engine(spark):
+    """ADVICE r4: a `%`-wildcard whose regex legitimately matches the empty
+    string must agree cross-engine (rlike vs regexp_matches, not
+    regexp_extract(...) <> '')."""
+    import duckdb
+    rows = [(1, {"ref": ""}), (2, {"ref": "A1"}), (3, {})]
+    df = spark.createDataFrame(rows, "id int, tags map<string,string>")
+    got = {r.id for r in df.filter(
+        pr._leaf_column(F.col("tags"), "ref", "%")).collect()}
+    con = duckdb.connect()
+    flat = df.select("id", F.col("tags").getItem("ref").alias("ref")).toPandas()
+    con.register("flat", flat)
+    sql = pr._leaf_sql({"ref": "ref"}, "ref", "%")
+    duck = {r[0] for r in con.execute(
+        f"SELECT id FROM flat WHERE {sql}").fetchall()}
+    assert got == duck == {1, 2}
+
+
 def test_attr_typed_copy(spark):
     df = spark.createDataFrame([(1, {"h": "12m"})], "id int, tags map<string,string>")
     schema = pr.parse_schema("""

@@ -38,6 +38,11 @@ class _FileServer(BaseHTTPRequestHandler):
             self.send_header("Location", "/loop")
             self.end_headers()
             return
+        if self.path == "/empty":
+            # no Content-Length: unknown size, 0-byte body
+            self.send_response(200)
+            self.end_headers()
+            return
         self.send_response(200)
         self.send_header("Content-Length", str(len(PAYLOAD)))
         if self.path != "/noranges":
@@ -47,6 +52,17 @@ class _FileServer(BaseHTTPRequestHandler):
     def do_GET(self):
         self._common()
         rng = self.headers.get("Range")
+        if self.path == "/empty":
+            self.send_response(200)
+            self.end_headers()
+            return
+        if self.path == "/liar" and rng:
+            # advertises Accept-Ranges but ignores Range: 200 + full body
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(PAYLOAD)))
+            self.end_headers()
+            self.wfile.write(PAYLOAD)
+            return
         body = PAYLOAD
         status = 200
         if rng:
@@ -117,6 +133,25 @@ def test_download_without_range_support(server, tmp_path):
     assert out.read_bytes() == PAYLOAD
     gets = [r for r in _FileServer.requests if r[0] == "GET"]
     assert len(gets) == 1 and gets[0][2] is None  # single full-body GET
+
+
+def test_empty_body_unknown_size_publishes_zero_bytes(server, tmp_path):
+    # ADVICE r4: truncate(size or 1) published a 1-byte NUL file for a 0-byte
+    # body with no Content-Length
+    out = tmp_path / "empty.bin"
+    n = dl.download(f"{server}/empty", str(out), threads=4)
+    assert out.read_bytes() == b"" and n == 0
+
+
+def test_range_liar_falls_back_to_single_stream(server, tmp_path):
+    # ADVICE r4: a server that advertises Accept-Ranges but answers 200 must
+    # not have every chunk scribble the full body at its own offset
+    out = tmp_path / "liar.bin"
+    n = dl.download(f"{server}/liar", str(out), threads=4, chunk_size=50_000)
+    assert out.read_bytes() == PAYLOAD
+    assert n == len(PAYLOAD)  # progress rewound before the fallback stream
+    gets = [r for r in _FileServer.requests if r[0] == "GET"]
+    assert gets[-1][2] is None  # final fetch was a plain un-ranged GET
 
 
 def test_chunk_retry_rewinds_progress(server, tmp_path):
