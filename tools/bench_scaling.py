@@ -103,6 +103,8 @@ def run_concurrent(base: int, meta: str, rast: str, maxzoom: int) -> tuple[dict,
     hi["pip_rows_per_s"] = round(hi["pip_rows"] / hi["pip_wall_s"], 1)
     hi["raster_tiles_per_s"] = round(hi["n_raster_tiles"] / hi["raster_wall_s"], 1)
     hi["n_reps"] = len(hi_runs)
+    hi["bw_probes"] = [(r.get("bw_gbs_start"), r.get("bw_gbs_end"))
+                       for r in hi_runs]
     return lo, hi
 
 
@@ -152,7 +154,9 @@ def main():
     print(json.dumps(report, indent=2))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # LAST_RUN.md, not BASELINE.md: the curated multi-round evidence document
+    # lives at BENCH/BASELINE.md and is merged by hand from these run reports
+    path = os.path.join(REPO, "BENCH", "LAST_RUN.md")
     with open(path, "w") as f:
         f.write(render_md(args, lo, hi, report["efficiency"]))
     print(f"wrote {path}")
@@ -198,6 +202,10 @@ image bytes), deterministic seed=42, 20% city-hotspot skew.
 Totals: {lo['n_tiles']:,} vector tiles / {lo['n_features']:,} features;
 {lo['pip_rows']:,} join rows; {lo['n_raster_tiles']:,} raster tiles.
 Row counts identical at both levels (same input -> same output).
+
+In-window single-thread memory-bandwidth probe (fixed 128 MB numpy triad,
+GB/s; start/end of each level's run): local[{n}] {lo.get('bw_gbs_start')}/
+{lo.get('bw_gbs_end')}; local[{n4}] reps {hi.get('bw_probes', [(hi.get('bw_gbs_start'), hi.get('bw_gbs_end'))])}.
 
 Reproduce: `python tools/bench_scaling.py --n {args.n} --n-raster {args.n_raster} --base-cpus {args.base_cpus}`
 """

@@ -16,6 +16,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def bw_probe(n: int = 16_777_216, iters: int = 5) -> float:
+    """Fixed single-thread STREAM-triad-style memory-bandwidth probe: window
+    health as a NUMBER logged per run (VERDICT r4 #1). Two numpy passes over
+    128 MB arrays (far beyond L3): a = 0.5*c then a += b — traffic 40 B/elem
+    (multiply: read c + write a; add: read a + read b + write a). Returns the
+    best GB/s over `iters`; arrays are identical every call so readings are
+    comparable across runs, levels, and rounds."""
+    import numpy as np
+    a = np.zeros(n)
+    b = np.ones(n)
+    c = np.full(n, 2.0)
+    np.multiply(c, 0.5, out=a)
+    a += b  # warm-up touch of all three
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.multiply(c, 0.5, out=a)
+        a += b
+        best = min(best, time.perf_counter() - t0)
+    return round(40.0 * n / best / 1e9, 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
@@ -56,6 +78,7 @@ def main():
     from planetiler_spark.operators import tile_pipeline as tp
 
     out = {"cpus": args.cpus}
+    out["bw_gbs_start"] = bw_probe()
     images = spark.read.parquet(args.images)
     images.count()  # warm FS cache + JVM before timing
 
@@ -117,6 +140,7 @@ def main():
     out["n_raster_tiles"] = int(nr)
     out["raster_tiles_per_s"] = round(nr / dt, 1)
 
+    out["bw_gbs_end"] = bw_probe()
     print(json.dumps(out))
     spark.stop()
 
