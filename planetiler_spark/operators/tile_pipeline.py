@@ -848,7 +848,8 @@ ZONE_FEATURES_COLS = ("key long, tile_id long, zoom int, zone_id string, "
 def render_zone_features(spark: SparkSession, min_zoom: int = 0,
                          max_zoom: int = 8, n_zones: int | None = None,
                          partitions: int = 16,
-                         range_partitions: int | None = None) -> DataFrame:
+                         range_partitions: int | None = None,
+                         zones_pdf=None) -> DataFrame:
     """zones polygons -> per-tile clipped/simplified fragments + interior fill
     rows across zooms, in the sorted-KV model. Each row carries its analytic
     range-exchange token (partitioning.py) so the tile shuffle doubles as the
@@ -857,7 +858,9 @@ def render_zone_features(spark: SparkSession, min_zoom: int = 0,
     from ..kernels import geom as gk
     from ..sources import images as src
 
-    zones = spark.createDataFrame(src.zones_pdf(n_zones or src.N_ZONES))
+    zones = spark.createDataFrame(
+        zones_pdf if zones_pdf is not None
+        else src.zones_pdf(n_zones or src.N_ZONES))
     rp = int(range_partitions
              or spark.conf.get("spark.sql.shuffle.partitions"))
     boundaries, pid = pt.tile_range_partitioning(min_zoom, max_zoom, rp)
@@ -967,7 +970,7 @@ def encode_zone_tiles(feats: DataFrame, partitions: int | None = None,
 
 def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
                   shuffle_partitions: int | None = None,
-                  n_zones: int | None = None) -> DataFrame:
+                  n_zones: int | None = None, zones_pdf=None) -> DataFrame:
     """Full polygon render+encode pipeline. Measured at scale (round 3,
     local[16], one window): 50,000 polygons z0-10 -> 75.1M tile fragments /
     1.29M tiles in 506s = 9.3k features/s/core — within 2x of the point
@@ -979,7 +982,7 @@ def zones_tileset(spark: SparkSession, min_zoom: int = 0, max_zoom: int = 8,
     tiles = encode_zone_tiles(
         render_zone_features(spark, min_zoom, max_zoom, n_zones=n_zones,
                              partitions=shuffle_partitions or 16,
-                             range_partitions=p),
+                             range_partitions=p, zones_pdf=zones_pdf),
         partitions=p)
     # already in total zoom-major order: the tile shuffle rode the analytic
     # range tokens, so the old repartitionByRange (whose boundary sampling

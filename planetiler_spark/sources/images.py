@@ -232,6 +232,46 @@ def zones_pdf(n_zones: int = N_ZONES) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["zone_id", "wkb", "kind"])
 
 
+def rect_zone_coords(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic DYADIC rectangle zones (x0, y0, x1, y1 world coords) for
+    the oracle-backed zones_tileset gate row. Every coordinate is an integer
+    multiple of 2^-20, so (a) repr(float) VALUES round-trip exactly into the
+    DuckDB replay, and (b) any non-zero distance between a scaled rect edge
+    and a buffered tile boundary is >= 2^-20 * 2^z >> the encoder's 1e-9
+    full-cover area tolerance — exact coordinate equality IS the fill test.
+    Sides >= 2^12/2^20 ~ 0.004 world units keep DP simplification from ever
+    touching a corner at z0 (corner deviation >= side/sqrt(2) ~ 7x the
+    0.1/256 tolerance), so the sliced geometry is exactly the rect."""
+    x0i, y0i, x1i, y1i = rect_zone_ints(n)
+    q = float(1 << 20)
+    return (x0i.astype(np.float64) / q, y0i.astype(np.float64) / q,
+            x1i.astype(np.float64) / q, y1i.astype(np.float64) / q)
+
+
+def rect_zone_ints(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Integer 2^-20-unit numerators of the rect-zone coordinates — what the
+    oracle inlines as VALUES (integer literals divide exactly by 1048576.0 in
+    DuckDB; float literals would parse as DECIMAL and overflow/diverge)."""
+    i = np.arange(n, dtype=np.int64)
+    x0i = (_U64(53248) + splitmix64(i ^ np.int64(0x51)) % _U64(901120))
+    y0i = (_U64(53248) + splitmix64(i ^ np.int64(0x52)) % _U64(901120))
+    wi = (_U64(4200) + splitmix64(i ^ np.int64(0x53)) % _U64(37000))
+    hi = (_U64(4200) + splitmix64(i ^ np.int64(0x54)) % _U64(37000))
+    return x0i, y0i, x0i + wi, y0i + hi
+
+
+def rect_zones_pdf(n: int) -> pd.DataFrame:
+    """Rect-zone fixture table (zone_id, wkb, kind) — same schema as
+    zones_pdf, consumed by the full zones render+encode pipeline."""
+    x0, y0, x1, y1 = rect_zone_coords(n)
+    rows = []
+    for k in range(n):
+        ring = np.array([[x0[k], y0[k]], [x1[k], y0[k]], [x1[k], y1[k]],
+                         [x0[k], y1[k]], [x0[k], y0[k]]])
+        rows.append((f"rect{k:04d}", gk.wkb_polygon([ring]), ZONE_KINDS[k % 4]))
+    return pd.DataFrame(rows, columns=["zone_id", "wkb", "kind"])
+
+
 @functools.lru_cache(maxsize=4)
 def zones_index(n_zones: int = N_ZONES) -> gk.PolygonIndex:
     pdf = zones_pdf(n_zones)
