@@ -2822,37 +2822,112 @@ def yaml_profile_match(spark, sf_dir):
         F.min(F.col("attrs").getItem("language")).alias("first_language"))
 
 
-@query("tile_feature_merge")  # rows-only: per-tile post-processing (FeatureMerge)
+def _feature_merge_oracle() -> str:
+    """DuckDB replay of BOTH per-tile FeatureMerge post-processors (rows-only
+    until round 5) over deterministic fixtures whose merge outcome is a graph
+    property:
+
+    - lines: merged-stroke count per (tile, zone) group = segments minus
+      interior joins, where a join is any integer endpoint shared by exactly
+      two segments (the fixture caps endpoint degree at 2 and is loop-free,
+      so LoopLineMerger's stroke count IS the path-component count); length
+      conservation is exact because every segment is axis-parallel with
+      integer endpoints (Manhattan = Euclidean, closed under merge).
+    - polys: output-ring count per (tile, kind) group = connected components
+      of the rect-overlap graph (recursive-CTE min-label propagation, the
+      dedup_components template) — exact because chain overlaps (64 EXTENT
+      units) and cluster gaps (>=1400) both dwarf the raster union's
+      8.25-unit pixel, and chains cannot create holes."""
+    from ..sources import images as src
+
+    n_max = 600  # sf0.01 gate size (= 0.04 * orders rows; sf0.001 -> 60)
+    seg_rows = ",".join(f"({g},{t},'{z}',{a},{b},{c},{d})"
+                        for g, t, z, a, b, c, d in src.merge_line_segments(n_max))
+    rect_rows = ",".join(f"({g},{t},'{k}',{r},{a},{b},{c},{d})"
+                         for g, t, k, r, a, b, c, d in src.merge_poly_rects(n_max))
+    scale = ("greatest(CAST(round(0.04 * (SELECT count(*) FROM orders)) "
+             "AS BIGINT), 50)")
+    return f"""
+    WITH RECURSIVE segs(gid, tile_id, zone_id, x0, y0, x1, y1) AS (VALUES {seg_rows}),
+    sl AS (SELECT * FROM segs WHERE gid < {scale}),
+    ends AS (
+      SELECT gid, x0 AS x, y0 AS y FROM sl
+      UNION ALL SELECT gid, x1, y1 FROM sl
+    ),
+    joins AS (SELECT gid, x, y FROM ends GROUP BY gid, x, y HAVING count(*) = 2),
+    jcnt AS (SELECT gid, count(*) AS nj FROM joins GROUP BY gid),
+    lrows AS (
+      SELECT 'lines' AS op, any_value(s.tile_id) AS tile_id,
+             any_value(s.zone_id) AS grp, count(*) AS a,
+             count(*) - coalesce(any_value(j.nj), 0) AS b,
+             CAST(sum(abs(s.x1 - s.x0) + abs(s.y1 - s.y0)) AS BIGINT) AS len_in,
+             CAST(sum(abs(s.x1 - s.x0) + abs(s.y1 - s.y0)) AS BIGINT) AS len_out
+      FROM sl s LEFT JOIN jcnt j ON j.gid = s.gid
+      GROUP BY s.gid
+    ),
+    rects(gid, tile_id, kind, rid, rx0, ry0, rx1, ry1) AS (VALUES {rect_rows}),
+    rl AS (SELECT * FROM rects WHERE gid < {scale}),
+    redges AS (
+      SELECT a.gid, a.rid AS s, b.rid AS d
+      FROM rl a JOIN rl b ON a.gid = b.gid AND a.rid <> b.rid
+       AND a.rx0 < b.rx1 AND b.rx0 < a.rx1 AND a.ry0 < b.ry1 AND b.ry0 < a.ry1
+    ),
+    reach(gid, rid, lbl) AS (
+      SELECT gid, rid, rid FROM rl
+      UNION
+      SELECT e.gid, e.d, r.lbl
+      FROM reach r JOIN redges e ON e.gid = r.gid AND e.s = r.rid
+    ),
+    rlabels AS (SELECT gid, rid, min(lbl) AS comp FROM reach GROUP BY gid, rid),
+    prows AS (
+      SELECT 'polys' AS op, any_value(r.tile_id) AS tile_id,
+             any_value(r.kind) AS grp, count(*) AS a,
+             count(DISTINCT l.comp) AS b,
+             CAST(NULL AS BIGINT) AS len_in, CAST(NULL AS BIGINT) AS len_out
+      FROM rl r JOIN rlabels l ON l.gid = r.gid AND l.rid = r.rid
+      GROUP BY r.gid
+    )
+    SELECT * FROM lrows UNION ALL SELECT * FROM prows
+    """
+
+
+@query("tile_feature_merge", _feature_merge_oracle)
 def tile_feature_merge(spark, sf_dir):
-    """Both per-tile FeatureMerge post-processors in one gate row:
+    """Both per-tile FeatureMerge post-processors in one gate row — now
+    oracle-backed (see _feature_merge_oracle):
 
-    - `lines`: touching boundary-line pieces re-merged into maximal strokes
-      (FeatureMerge.mergeLineStrings:101-231 / LoopLineMerger.java:40) at the
-      zoom-dependent extra precision, length conserved (asserted in tests);
-    - `polys`: union of overlapping/nearby same-kind polygons
-      (mergeOverlappingPolygons:291-300 + mergeNearbyPolygons:323-394) at
-      raster precision (kernels/union.py) — geometry snaps to the 4096 grid
-      next, so sub-pixel union error is invisible.
+    - `lines`: touching line pieces re-merged into maximal strokes
+      (FeatureMerge.mergeLineStrings:101-231 / LoopLineMerger.java:40);
+      stroke count + conserved length verified per (tile, zone) group;
+    - `polys`: union of overlapping same-kind polygons
+      (mergeOverlappingPolygons:291-300 via kernels/union.py raster
+      precision); output-ring count = overlap-graph components per
+      (tile, kind) group.
 
-    Output: (op, zoom, n_groups, a, b) — lines: (n_pieces, n_strokes);
-    polys: (n_input_polys, n_output_rings)."""
+    The sliced-boundary (extra-precision scale bits) and nearby-merge
+    (min_dist_px) variants keep their length-conservation / area pytest
+    coverage in test_merge_op."""
     from ..operators import merge as mg
-    from ..operators import tile_pipeline as tp
+    from ..sources import images as src
 
-    lines = mg.merge_tile_lines(mg.render_boundary_lines(spark, min_zoom=4, max_zoom=6))
-    line_rows = lines.groupBy("zoom").agg(
-        F.count("*").alias("n_groups"),
-        F.sum("n_pieces").cast("long").alias("a"),
-        F.sum("n_merged").cast("long").alias("b")).select(
-        F.lit("lines").alias("op"), "zoom", "n_groups", "a", "b")
+    n = _images_n(sf_dir, 60)
+    lines = mg.merge_tile_lines(spark.createDataFrame(
+        src.merge_line_fixture_pdf(n), schema=mg.LINE_FEATURES_SCHEMA))
+    line_rows = lines.select(
+        F.lit("lines").alias("op"), "tile_id", F.col("zone_id").alias("grp"),
+        F.col("n_pieces").alias("a"), F.col("n_merged").alias("b"),
+        F.col("len_before").cast("long").alias("len_in"),
+        F.col("len_after").cast("long").alias("len_out"))
 
-    polys = mg.merge_tile_polygons(
-        tp.render_zone_features(spark, min_zoom=4, max_zoom=5), min_dist_px=16.0)
-    poly_rows = polys.groupBy("zoom").agg(
-        F.count("*").alias("n_groups"),
-        F.sum("n_input").cast("long").alias("a"),
-        F.sum("n_rings").cast("long").alias("b")).select(
-        F.lit("polys").alias("op"), "zoom", "n_groups", "a", "b")
+    from ..operators.tile_pipeline import ZONE_FEATURES_COLS
+    polys = mg.merge_tile_polygons(spark.createDataFrame(
+        src.merge_poly_fixture_pdf(n), schema=ZONE_FEATURES_COLS),
+        min_dist_px=0.0)
+    poly_rows = polys.select(
+        F.lit("polys").alias("op"), "tile_id", F.col("kind").alias("grp"),
+        F.col("n_input").alias("a"), F.col("n_rings").alias("b"),
+        F.lit(None).cast("long").alias("len_in"),
+        F.lit(None).cast("long").alias("len_out"))
     return line_rows.unionByName(poly_rows)
 
 

@@ -272,6 +272,100 @@ def rect_zones_pdf(n: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["zone_id", "wkb", "kind"])
 
 
+def _mix1(g: int, salt: int) -> int:
+    return int(splitmix64(np.array([g], dtype=np.int64) ^ np.int64(salt))[0])
+
+
+def merge_line_segments(n_groups: int) -> list[tuple]:
+    """Deterministic per-tile LINE-MERGE fixture for the oracle-backed
+    tile_feature_merge gate row: each group is one (tile, zone_id) whose
+    segments are an axis-parallel integer staircase path with ~25% of the
+    steps removed. Properties that make the merge outcome closed-form:
+    endpoints are exact integers (touching is exact), max endpoint degree is
+    2 and the walk is strictly monotone (no loops, no accidental
+    coincidences), and every segment is axis-parallel so lengths are exact
+    integers (sqrt of a perfect square). Merged-stroke count per group =
+    segments - interior joins (endpoint-degree argument) = runs of kept
+    steps. Returns (gid, tile_id, zone_id, x0, y0, x1, y1) tuples."""
+    rows = []
+    for g in range(n_groups):
+        tid = int(tm.tile_encode(_mix1(g, 1) % 64, _mix1(g, 2) % 64, 6))
+        m = 6 + _mix1(g, 3) % 7
+        x = 256 + _mix1(g, 4) % 512
+        y = 256 + _mix1(g, 5) % 512
+        for i in range(m):
+            step = 16 + _mix1(g * 64 + i, 7) % 65
+            nx, ny = (x + step, y) if i % 2 == 0 else (x, y + step)
+            if _mix1(g * 64 + i, 9) % 4 != 0:
+                rows.append((g, tid, f"g{g:04d}", x, y, nx, ny))
+            x, y = nx, ny
+    return rows
+
+
+_POLY_CLUSTER_SLOTS = ((256, 256), (256, 2304), (2304, 256), (2304, 2304))
+
+
+def merge_poly_rects(n_groups: int) -> list[tuple]:
+    """Deterministic POLYGON-UNION fixture: each group is one (tile, kind)
+    holding 1-4 clusters of 1-4 chained rectangles. Consecutive chain rects
+    overlap by 64 EXTENT units and clusters sit >= 1400 units apart — both
+    far beyond the raster union's ~8.25-unit pixel at grid=512, so the union
+    merges exactly the overlap graph's connected components (one output ring
+    per cluster, no holes by construction). Returns
+    (gid, tile_id, kind, rid, x0, y0, x1, y1) tuples."""
+    rows = []
+    for g in range(n_groups):
+        t = g // 4
+        tid = int(tm.tile_encode(t % 64, (t // 64) % 64, 6))
+        kind = ZONE_KINDS[g % 4]
+        rid = 0
+        for c in range(1 + _mix1(g, 11) % 4):
+            bx, by = _POLY_CLUSTER_SLOTS[c]
+            for j in range(1 + _mix1(g * 8 + c, 13) % 4):
+                rows.append((g, tid, kind, rid,
+                             bx + 96 * j, by, bx + 96 * j + 160, by + 128))
+                rid += 1
+    return rows
+
+
+def merge_line_fixture_pdf(n_groups: int) -> pd.DataFrame:
+    """merge_line_segments as engine line-feature rows (merge.py
+    LINE_FEATURES_SCHEMA: packed 2-point parts at scale 0)."""
+    segs = merge_line_segments(n_groups)
+    return pd.DataFrame({
+        "key": [int(tm.encode_sort_key(t, 2, 0, 0)) for _, t, *_ in segs],
+        "tile_id": [t for _, t, *_ in segs],
+        "zoom": np.full(len(segs), 6, dtype=np.int32),
+        "zone_id": [z for _, _, z, *_ in segs],
+        "kind": [ZONE_KINDS[g % 4] for g, *_ in segs],
+        "scale": np.zeros(len(segs), dtype=np.int32),
+        "parts": [gk.pack_parts([np.array([[r[3], r[4]], [r[5], r[6]]],
+                                          dtype=np.int64)]) for r in segs],
+    })
+
+
+def merge_poly_fixture_pdf(n_groups: int) -> pd.DataFrame:
+    """merge_poly_rects as engine zone-fragment rows (tile_pipeline
+    ZONE_FEATURES_COLS: packed rect rings, no fills)."""
+    rects = merge_poly_rects(n_groups)
+
+    def ring(r):
+        x0, y0, x1, y1 = r[4], r[5], r[6], r[7]
+        return gk.pack_parts([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+            dtype=np.int64)])
+
+    return pd.DataFrame({
+        "key": [int(tm.encode_sort_key(t, 1, 0, 0)) for _, t, *_ in rects],
+        "tile_id": [t for _, t, *_ in rects],
+        "zoom": np.full(len(rects), 6, dtype=np.int32),
+        "zone_id": [f"g{g:04d}" for g, *_ in rects],
+        "kind": [k for _, _, k, *_ in rects],
+        "fill": np.zeros(len(rects), dtype=bool),
+        "parts": [ring(r) for r in rects],
+    })
+
+
 @functools.lru_cache(maxsize=4)
 def zones_index(n_zones: int = N_ZONES) -> gk.PolygonIndex:
     pdf = zones_pdf(n_zones)
