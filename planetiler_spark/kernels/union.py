@@ -16,6 +16,19 @@ Pipeline per attr-group within one tile:
   5. rings scale back to extent coords; caller simplifies/snaps
 
 Everything is vectorized numpy; no per-pixel Python.
+
+MEASURED divergence bound vs the exact union (test_union.py
+test_raster_union_divergence_bound, round 5): every point the raster union
+(default grid=1024) classifies differently from the exact polygon union lies
+within **2.82 EXTENT units (0.17 tile px, <1 working-grid pixel) of the
+exact union boundary** across overlapping squares, a partially-covered hole,
+and seeded random convex clusters; the test asserts <= 5.0 (one pixel + the
+boundary-sampling slack). Caveat inherent to rasterization: features thinner
+than one working pixel can drop entirely — but any point so misclassified is
+still within the bound of the exact boundary, and tile geometry snaps to the
+4096 grid immediately afterwards, so sub-pixel error is invisible in output
+tiles (the reference's own bufferUnionUnbuffer is likewise tolerance-based,
+FeatureMerge.java:352).
 """
 
 from __future__ import annotations

@@ -71,3 +71,82 @@ def test_traced_rings_closed_and_on_grid():
         assert np.array_equal(r[0], r[-1])
         # vertices on the pixel lattice
         assert np.allclose(r % PX, 0)
+
+
+# --- measured divergence bound vs the exact union (VERDICT r4 #5) -------------
+
+def _convex(rng, cx, cy, r):
+    pts = np.stack([cx + rng.normal(0, r, 12), cy + rng.normal(0, r, 12)], axis=1)
+    from planetiler_spark.sources.images import _convex_hull
+    return _convex_hull(pts)
+
+
+def _exact_inside(xs, ys, polys):
+    """Union membership: even-odd within each polygon, OR across polygons."""
+    inside = np.zeros(len(xs), dtype=bool)
+    for rings in polys:
+        inside |= gk.points_in_polygon(xs, ys, rings)
+    return inside
+
+
+def _exact_boundary_cloud(polys, step=2.0):
+    """~exact union-boundary point cloud: dense samples of every input edge,
+    keeping only samples not strictly inside any OTHER polygon."""
+    pts = []
+    for k, rings in enumerate(polys):
+        others = polys[:k] + polys[k + 1:]
+        for ring in rings:
+            a, b = ring[:-1], ring[1:]
+            seglen = np.hypot(*(b - a).T)
+            for i in range(len(a)):
+                n = max(int(seglen[i] / step), 1) + 1
+                t = np.linspace(0, 1, n)
+                sx = a[i, 0] + t * (b[i, 0] - a[i, 0])
+                sy = a[i, 1] + t * (b[i, 1] - a[i, 1])
+                keep = ~_exact_inside(sx, sy, others) if others else np.ones(n, bool)
+                pts.append(np.stack([sx[keep], sy[keep]], axis=1))
+    return np.concatenate(pts)
+
+
+def _max_misclass_margin(polys, grid=1024):
+    merged = un.union_polygons(polys, grid=grid, lo=0.0, hi=4096.0)
+    # dense membership samples (pixel centers of a finer off-phase grid)
+    s = 384
+    c = (np.arange(s) + 0.5) * (4096.0 / s)
+    gx, gy = np.meshgrid(c, c)
+    xs, ys = gx.ravel(), gy.ravel()
+    exact = _exact_inside(xs, ys, polys)
+    raster = gk.points_in_polygon(xs, ys, merged) if merged else np.zeros(len(xs), bool)
+    bad = exact != raster
+    if not bad.any():
+        return 0.0
+    bx, by = xs[bad], ys[bad]
+    cloud = _exact_boundary_cloud(polys)
+    worst = 0.0
+    for i in range(0, len(bx), 1024):
+        d2 = (bx[i:i + 1024, None] - cloud[None, :, 0]) ** 2 \
+            + (by[i:i + 1024, None] - cloud[None, :, 1]) ** 2
+        worst = max(worst, float(np.sqrt(d2.min(axis=1).max())))
+    return worst
+
+
+def test_raster_union_divergence_bound():
+    """Measured bound on the raster union's divergence from the exact
+    polygon union (FeatureMerge.java:352 bufferUnionUnbuffer semantics being
+    approximated): every point the two unions CLASSIFY differently lies
+    within one working-grid pixel (4096/1024 = 4 EXTENT units = 0.25 tile px)
+    plus half a sample step of the exact union boundary. Cases: overlapping
+    squares, hole partially covered by an overlap, and seeded random convex
+    clusters. The number is recorded in kernels/union.py's docstring."""
+    rng = np.random.default_rng(7)
+    cases = [
+        [[sq(512, 512, 1024)], [sq(1024, 1024, 1024)]],                 # overlap
+        [[sq(256, 256, 2048), sq(768, 768, 1024)],                     # hole...
+         [sq(1280, 1280, 1024)]],                                       # ...part-covered
+        [[_convex(rng, 1024 + 512 * (k % 3), 1024 + 512 * (k // 3), 300)]
+         for k in range(9)],                                            # random cluster
+    ]
+    worst = max(_max_misclass_margin(c) for c in cases)
+    # one pixel (4.0) + boundary-cloud sampling slack (step/2 = 1.0)
+    assert worst <= 5.0, worst
+    print(f"measured divergence bound: {worst:.2f} extent units")
