@@ -41,11 +41,12 @@ def ensure_input(n: int, n_raster: int, work: str) -> tuple[str, str]:
     return meta, rast
 
 
-def _level_cmd(cpus: int, cpuset: str, meta: str, rast: str, maxzoom: int):
+def _level_cmd(cpus: int, cpuset: str, meta: str, rast: str, maxzoom: int,
+               reps: int = 1):
     return ["taskset", "-c", cpuset,
             sys.executable, os.path.join(REPO, "tools", "scaling_runner.py"),
             "--cpus", str(cpus), "--images", meta, "--images-raster", rast,
-            "--maxzoom", str(maxzoom)]
+            "--maxzoom", str(maxzoom), "--reps", str(reps)]
 
 
 def _parse_out(proc, label):
@@ -68,18 +69,38 @@ def run_level(cpus: int, meta: str, rast: str, maxzoom: int) -> dict:
     return out
 
 
-def run_concurrent(base: int, meta: str, rast: str, maxzoom: int) -> tuple[dict, dict]:
+def run_concurrent(base: int, meta: str, rast: str, maxzoom: int,
+                   lo_reps: int = 2) -> tuple[dict, dict]:
     """Concurrent mode: N-core and 4N-core levels run AT THE SAME TIME on
     disjoint cpusets (cores 0..N-1 and N..5N-1). This sandbox host shows
     3-4x multi-core throughput swings over minutes (single-core stable —
-    noisy-neighbor bandwidth contention), so only a same-instant comparison
-    yields a meaningful N-vs-4N ratio. The 4N level finishes ~4x sooner and
-    immediately RE-RUNS until the N level completes, keeping total host load
-    constant for the whole window; the 4N result is the min over its reps.
-    Requires 5N <= host cores."""
-    lo_cmd = _level_cmd(base, f"0-{base - 1}", meta, rast, maxzoom)
+    noisy-neighbor bandwidth contention; an IDENTICAL solo 12-core tileset
+    measured 77s then 47s twenty minutes apart), so only a same-instant
+    comparison yields a meaningful N-vs-4N ratio.
+
+    SYMMETRIC reps (r5): the N level reps each job `lo_reps` times
+    (round-robin inside one process); the 4N level re-invokes until the N
+    level completes, keeping total host load constant for the whole window.
+    BOTH levels aggregate the same way — min over reps (headline: host noise
+    here is strictly additive, so min estimates each level's noise-floor
+    runtime) and median (reported alongside; r4's protocol medianed hi reps
+    against a single un-repped lo run, which let one bad window segment set
+    either side). All raw walls ship in the JSON. Requires 5N <= host cores."""
+    lo_cmd = _level_cmd(base, f"0-{base - 1}", meta, rast, maxzoom, reps=lo_reps)
     hi_cmd = _level_cmd(base * 4, f"{base}-{5 * base - 1}", meta, rast, maxzoom)
     p_lo = subprocess.Popen(lo_cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    # DRAIN the lo pipes continuously: Popen(PIPE) without a reader deadlocks
+    # the child once 64 KB of stderr accumulates (the fine-split configs emit
+    # more task-level log lines — a full run2 hung 79 min exactly this way,
+    # JVM blocked in write(2) with FIONREAD=64287 on the stderr pipe).
+    import threading
+    lo_bufs = {"out": [], "err": []}
+    def _drain(stream, key):
+        for ln in stream:
+            lo_bufs[key].append(ln)
+    t_out = threading.Thread(target=_drain, args=(p_lo.stdout, "out"), daemon=True)
+    t_err = threading.Thread(target=_drain, args=(p_lo.stderr, "err"), daemon=True)
+    t_out.start(); t_err.start()
     hi_runs: list[dict] = []
     while True:
         p_hi = subprocess.Popen(hi_cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
@@ -89,19 +110,29 @@ def run_concurrent(base: int, meta: str, rast: str, maxzoom: int) -> tuple[dict,
                            "stderr": hi_err}), base * 4))
         if p_lo.poll() is not None:
             break
-    lo_out, lo_err = p_lo.communicate(timeout=3600)
+    p_lo.wait(timeout=3600)
+    t_out.join(timeout=60); t_err.join(timeout=60)
+    lo_out, lo_err = "".join(lo_bufs["out"]), "".join(lo_bufs["err"])
     lo = _parse_out(type("P", (), {"returncode": p_lo.returncode,
                                    "stdout": lo_out, "stderr": lo_err}), base)
     import statistics
+    for k in ("tileset", "pip", "raster"):
+        walls = lo.get(f"{k}_rep_walls_level", [lo[f"{k}_wall_s"]])
+        lo[f"{k}_rep_walls"] = walls
+        lo[f"{k}_wall_s"] = min(walls)
+        lo[f"{k}_wall_median_s"] = round(statistics.median(walls), 2)
     hi = dict(hi_runs[0])
     for k in ("tileset", "pip", "raster"):
-        walls = [r[f"{k}_wall_s"] for r in hi_runs]
-        hi[f"{k}_wall_s"] = round(statistics.median(walls), 2)
+        walls = [w for r in hi_runs
+                 for w in r.get(f"{k}_rep_walls_level", [r[f"{k}_wall_s"]])]
+        hi[f"{k}_wall_s"] = min(walls)
+        hi[f"{k}_wall_median_s"] = round(statistics.median(walls), 2)
         hi[f"{k}_rep_walls"] = walls  # noise transparency
-    hi["tiles_per_s"] = round(hi["n_tiles"] / hi["tileset_wall_s"], 1)
-    hi["features_per_s"] = round(hi["n_features"] / hi["tileset_wall_s"], 1)
-    hi["pip_rows_per_s"] = round(hi["pip_rows"] / hi["pip_wall_s"], 1)
-    hi["raster_tiles_per_s"] = round(hi["n_raster_tiles"] / hi["raster_wall_s"], 1)
+    for lvl in (lo, hi):
+        lvl["tiles_per_s"] = round(lvl["n_tiles"] / lvl["tileset_wall_s"], 1)
+        lvl["features_per_s"] = round(lvl["n_features"] / lvl["tileset_wall_s"], 1)
+        lvl["pip_rows_per_s"] = round(lvl["pip_rows"] / lvl["pip_wall_s"], 1)
+        lvl["raster_tiles_per_s"] = round(lvl["n_raster_tiles"] / lvl["raster_wall_s"], 1)
     hi["n_reps"] = len(hi_runs)
     hi["bw_probes"] = [(r.get("bw_gbs_start"), r.get("bw_gbs_end"))
                        for r in hi_runs]
@@ -115,6 +146,8 @@ def main():
     ap.add_argument("--base-cpus", type=int, default=6)
     ap.add_argument("--maxzoom", type=int, default=10)
     ap.add_argument("--mode", choices=["concurrent", "sequential"], default="concurrent")
+    ap.add_argument("--lo-reps", type=int, default=2,
+                    help="in-process reps of each job at the N level")
     ap.add_argument("--work", default="/tmp/planetiler_scaling")
     args = ap.parse_args()
     os.makedirs(args.work, exist_ok=True)
@@ -122,7 +155,8 @@ def main():
     meta, rast = ensure_input(args.n, args.n_raster, args.work)
 
     if args.mode == "concurrent":
-        lo, hi = run_concurrent(args.base_cpus, meta, rast, args.maxzoom)
+        lo, hi = run_concurrent(args.base_cpus, meta, rast, args.maxzoom,
+                                lo_reps=args.lo_reps)
     else:
         def best_of(cpus: int, reps: int = 2) -> dict:
             runs = [run_level(cpus, meta, rast, args.maxzoom) for _ in range(reps)]
@@ -151,6 +185,12 @@ def main():
             "raster": eff("raster_wall_s"),
         },
     }
+    if args.mode == "concurrent":
+        report["efficiency_median"] = {
+            "tileset": eff("tileset_wall_median_s"),
+            "pip_join": eff("pip_wall_median_s"),
+            "raster": eff("raster_wall_median_s"),
+        }
     print(json.dumps(report, indent=2))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -158,22 +198,29 @@ def main():
     # lives at BENCH/BASELINE.md and is merged by hand from these run reports
     path = os.path.join(REPO, "BENCH", "LAST_RUN.md")
     with open(path, "w") as f:
-        f.write(render_md(args, lo, hi, report["efficiency"]))
+        f.write(render_md(args, lo, hi, report["efficiency"],
+                          report.get("efficiency_median")))
     print(f"wrote {path}")
 
 
-def render_md(args, lo, hi, eff) -> str:
+def render_md(args, lo, hi, eff, eff_med=None) -> str:
     n, n4 = args.base_cpus, args.base_cpus * 4
     mode_note = (
         f"**Concurrent protocol**: both levels run AT THE SAME TIME on disjoint "
         f"cpusets (`taskset 0-{n - 1}` vs `{n}-{5 * n - 1}`), because this sandbox "
         f"host exhibits 3-4x multi-core throughput swings over minutes "
         f"(single-core stable — noisy-neighbor memory-bandwidth contention; "
-        f"measured: the identical 32-core tileset ranged 71s..262s across the "
-        f"session). A same-instant comparison is the only meaningful N-vs-4N "
-        f"ratio here; the 4N level re-runs until the N level finishes "
-        f"({hi.get('n_reps', 1)} reps, MEDIAN taken; per-rep walls in the "
-        f"JSON) so host load stays constant for the whole window."
+        f"measured: an IDENTICAL solo 12-core tileset read 77s then 47s "
+        f"twenty minutes apart). A same-instant comparison is the only "
+        f"meaningful N-vs-4N ratio here. SYMMETRIC reps: the N level reps "
+        f"each job {args.lo_reps}x round-robin in-process; the 4N level "
+        f"re-invokes until the N level finishes ({hi.get('n_reps', 1)} "
+        f"invocations) so host load stays constant for the whole window. "
+        f"Both levels take the MIN over their reps (noise on this host is "
+        f"strictly additive — contention only ever slows a run — so min "
+        f"estimates each level's noise-floor runtime symmetrically); the "
+        f"median-policy efficiencies are reported below and every raw rep "
+        f"wall ships in the run JSON."
         if args.mode == "concurrent" else
         "Sequential protocol: one pinned level at a time, best of 2 reps.")
     return f"""# BENCH/BASELINE — two-cluster-size scaling evidence (north_rule)
@@ -198,6 +245,13 @@ image bytes), deterministic seed=42, 20% city-hotspot skew.
 | | join rows/s | {lo['pip_rows_per_s']:,} | {hi['pip_rows_per_s']:,} | | |
 | raster patch tiling z14 | wall s | {lo['raster_wall_s']} | {hi['raster_wall_s']} | {lo['raster_wall_s']/hi['raster_wall_s']:.2f}x | **{eff['raster']}** |
 | | raster tiles/s | {lo['raster_tiles_per_s']:,} | {hi['raster_tiles_per_s']:,} | | |
+
+{"Median-policy efficiencies (same raw walls, median over reps per level): "
+ f"tileset {eff_med['tileset']}, pip {eff_med['pip_join']}, raster "
+ f"{eff_med['raster']}. Rep walls: tileset lo {lo.get('tileset_rep_walls')} "
+ f"hi {hi.get('tileset_rep_walls')}; raster lo {lo.get('raster_rep_walls')} "
+ f"hi {hi.get('raster_rep_walls')}; pip lo {lo.get('pip_rep_walls')} "
+ f"hi {hi.get('pip_rep_walls')}." if eff_med else ""}
 
 Totals: {lo['n_tiles']:,} vector tiles / {lo['n_features']:,} features;
 {lo['pip_rows']:,} join rows; {lo['n_raster_tiles']:,} raster tiles.
