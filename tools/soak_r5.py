@@ -129,10 +129,10 @@ def job_flagship(args):
     wall = time.time() - t0
     print(json.dumps({
         "wall_s": round(wall, 1),
-        "n_tiles": meta_out.get("n_tiles"),
-        "n_entries": meta_out.get("n_entries"),
+        "n_tiles": meta_out["tiles"],
+        "n_entries": meta_out["entries"],
         "archive_mb": round(os.path.getsize(out) / 1e6, 1),
-        "tiles_per_s": round((meta_out.get("n_tiles") or 0) / wall, 1),
+        "tiles_per_s": round(meta_out["tiles"] / wall, 1),
     }))
     spark.stop()
 
