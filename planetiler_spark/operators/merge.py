@@ -125,14 +125,24 @@ MERGED_POLY_SCHEMA = ("tile_id long, zoom int, kind string, n_input long, "
 
 def merge_tile_polygons(feats: DataFrame, min_dist_px: float = 0.0,
                         min_area: float = 0.0,
-                        partitions: int | None = None) -> DataFrame:
-    """Per (tile, kind): union overlapping/nearby polygons at raster precision
+                        partitions: int | None = None,
+                        method: str = "raster") -> DataFrame:
+    """Per (tile, kind): union overlapping/nearby polygons
     (FeatureMerge.mergeOverlappingPolygons:291-300 / mergeNearbyPolygons
-    :323-394 via kernels/union.py). Input = zone polygon fragments from
-    render_zone_features (fill rows become full-tile squares). Outputs area
-    accounting: union area <= input area (overlaps collapse) and >= largest
-    input."""
+    :323-394). Input = zone polygon fragments from render_zone_features
+    (fill rows become full-tile squares). Outputs area accounting: union
+    area <= input area (overlaps collapse) and >= largest input.
+
+    method="raster" (default): kernels/union.py scanline+morphology union —
+    the scale path for huge fused groups (bounded work per tile regardless
+    of vertex count; divergence from the exact union measured <=2.82 EXTENT
+    units, test_union). method="exact": kernels/polyclip.py exact rational
+    boolean ops — vector-precision output, the reference's actual
+    buffer-union-unbuffer semantics."""
+    if method not in ("raster", "exact"):
+        raise ValueError(f"unknown method {method!r}")
     from ..kernels import mvt
+    from ..kernels import polyclip as pcl
     from ..kernels import union as un
     from . import render as R
 
@@ -153,9 +163,17 @@ def merge_tile_polygons(feats: DataFrame, min_dist_px: float = 0.0,
                 polys.append(rings)
                 area_in += abs(gk.ring_signed_area(rings[0])) - sum(
                     abs(gk.ring_signed_area(r)) for r in rings[1:])
-            merged = un.union_polygons(polys, grid=512,
-                                       min_dist_px=min_dist_px,
-                                       min_area=min_area, lo=lo, hi=hi)
+            if method == "exact":
+                merged = pcl.union_polygons_exact(polys,
+                                                  min_dist_px=min_dist_px,
+                                                  min_area=min_area)
+                area_out = float(sum(gk.ring_signed_area(r) for r in merged))
+            else:
+                merged = un.union_polygons(polys, grid=512,
+                                           min_dist_px=min_dist_px,
+                                           min_area=min_area, lo=lo, hi=hi)
+                # the raster tracer emits shells CW (image-space convention)
+                area_out = float(-sum(gk.ring_signed_area(r) for r in merged))
             x, y, z = tm.tile_decode(np.int64(tid))
             out["tile_id"].append(int(tid))
             out["zoom"].append(int(z))
@@ -163,7 +181,7 @@ def merge_tile_polygons(feats: DataFrame, min_dist_px: float = 0.0,
             out["n_input"].append(len(polys))
             out["n_rings"].append(len(merged))
             out["area_in_px2"].append(float(area_in))
-            out["area_out_px2"].append(float(-sum(gk.ring_signed_area(r) for r in merged)))
+            out["area_out_px2"].append(area_out)
         yield pd.DataFrame(out)
 
     shuffled, stream = _grouped_by_tile(feats, partitions, ["key", "zone_id"],

@@ -69,3 +69,36 @@ def test_merge_tile_polygons_area_invariants(spark):
         if r.n_input > 1 and r.area_out_px2 < r.area_in_px2 * 0.98:
             overlaps_collapsed += 1
     assert overlaps_collapsed > 0  # overlapping twins actually merged
+
+
+def test_merge_tile_polygons_exact_matches_raster(spark):
+    """The exact vector path (kernels/polyclip.py) against the raster
+    default on the same rendered zone fragments: identical grouping keys,
+    union areas within the raster path's resolution, and the exact path's
+    output NEVER exceeds the input area (a hard invariant only the exact
+    union can assert without tolerance)."""
+    from planetiler_spark.operators import tile_pipeline as tp
+    feats = tp.render_zone_features(spark, min_zoom=4, max_zoom=4)
+    raster = {(r.tile_id, r.kind): r
+              for r in mg.merge_tile_polygons(feats).collect()}
+    exact = {(r.tile_id, r.kind): r
+             for r in mg.merge_tile_polygons(feats, method="exact").collect()}
+    assert raster.keys() == exact.keys()
+    compared = 0
+    for k, e in exact.items():
+        r = raster[k]
+        assert e.n_input == r.n_input
+        # exact union: hard invariants, no tolerance
+        assert e.area_out_px2 <= e.area_in_px2 + 1e-6, k
+        if e.n_input == 1:
+            assert e.area_out_px2 == pytest.approx(e.area_in_px2, rel=1e-9)
+        # cross-path agreement: raster cell at grid=512 over the buffered
+        # window is ~8.25 units; the discretization error scales with the
+        # boundary length (~sqrt(area) for compact shapes), one cell deep
+        if r.n_rings > 0 and e.n_rings > 0:
+            tol = max(300.0, 12.0 * e.area_in_px2 ** 0.5
+                      + 0.02 * e.area_in_px2)
+            assert abs(e.area_out_px2 - r.area_out_px2) <= tol, \
+                (k, e.area_out_px2, r.area_out_px2)
+            compared += 1
+    assert compared > 10
