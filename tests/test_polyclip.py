@@ -247,3 +247,44 @@ def test_union_polygons_exact_min_dist():
     assert len(out) == 1  # gap 3 < min_dist 8 -> bridged
     out = pc.union_polygons_exact(two, min_dist_px=2.0)
     assert len(out) == 2
+
+
+# --- independent oracle for the render-stage hot clipper ---------------------
+
+def test_clip_polygon_rect_vs_exact_intersection():
+    """geom.clip_polygon_rect (the Sutherland-Hodgman clipper under
+    slice_polygon, run millions of times per render) against the exact
+    boolean intersection: net even-odd area must agree to 1e-9 and point
+    classification must agree everywhere off the (measure-zero) degenerate
+    bridges S-H may emit for concave subjects."""
+    from planetiler_spark.kernels import geom as gk
+    rng = np.random.default_rng(17)
+
+    def star(cx, cy, rmax, n, rmin_frac):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(rmin_frac * rmax, rmax, n)
+        pts = np.column_stack([cx + rad * np.cos(ang),
+                               cy + rad * np.sin(ang)])
+        return np.vstack([pts, pts[:1]])
+
+    for trial in range(10):
+        cx, cy = rng.uniform(30, 70, 2)
+        shell = star(cx, cy, 30.0, int(rng.integers(6, 14)), 0.35)
+        rings = [shell]
+        if trial % 2:  # every other case carries a hole
+            rings.append(star(cx, cy, 8.0, 6, 0.6)[::-1])  # reversed: CW
+        wx0, wy0 = rng.uniform(20, 60, 2)
+        wx1, wy1 = wx0 + rng.uniform(10, 40), wy0 + rng.uniform(10, 40)
+        clipped = gk.clip_polygon_rect(rings, wx0, wy0, wx1, wy1)
+        rect = [np.array([[wx0, wy0], [wx1, wy0], [wx1, wy1],
+                          [wx0, wy1], [wx0, wy0]], float)]
+        exact = pc.boolean_rings([rings], [rect], op="inter")
+        assert area(clipped) == pytest.approx(area(exact), abs=1e-9)
+        if not exact:
+            continue
+        xs = np.linspace(wx0 + 0.0123, wx1 - 0.0123, 25)
+        ys = np.linspace(wy0 + 0.0234, wy1 - 0.0234, 25)
+        X, Y = np.meshgrid(xs, ys)
+        px, py = X.ravel(), Y.ravel()
+        assert np.array_equal(inside_eo(px, py, clipped),
+                              inside_eo(px, py, exact))
