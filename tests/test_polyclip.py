@@ -288,3 +288,58 @@ def test_clip_polygon_rect_vs_exact_intersection():
         px, py = X.ravel(), Y.ravel()
         assert np.array_equal(inside_eo(px, py, clipped),
                               inside_eo(px, py, exact))
+
+
+def test_fuzz_degenerate_soups():
+    """Seeded fuzz over degenerate input classes — lattice polygons with
+    shared edges, exact duplicates, vertex fans, collinear strip stacks,
+    slivers, and self-intersecting bowtie quads. The union must classify
+    every generic grid point exactly like the OR of the inputs."""
+    rng = np.random.default_rng(123)
+    for trial in range(60):
+        kind = trial % 6
+        polys = []
+        if kind == 0:
+            for _ in range(rng.integers(2, 7)):
+                x0, y0 = rng.integers(0, 12, 2)
+                w, h = rng.integers(1, 6, 2)
+                polys.append([np.array(
+                    [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                     [x0, y0 + h], [x0, y0]], float)])
+        elif kind == 1:
+            x0, y0 = rng.integers(0, 10, 2)
+            p = [np.array([[x0, y0], [x0 + 5, y0], [x0 + 5, y0 + 5],
+                           [x0, y0 + 5], [x0, y0]], float)]
+            polys = [p, [p[0].copy()], [p[0].copy()]]
+        elif kind == 2:
+            cx, cy = 5.0, 5.0
+            for _ in range(rng.integers(2, 6)):
+                a = rng.uniform(0, 2 * np.pi, 2)
+                polys.append([np.array(
+                    [[cx, cy], [cx + 6 * np.cos(a[0]), cy + 6 * np.sin(a[0])],
+                     [cx + 6 * np.cos(a[1]), cy + 6 * np.sin(a[1])],
+                     [cx, cy]], float)])
+        elif kind == 3:
+            for _ in range(rng.integers(2, 5)):
+                y0 = float(rng.integers(0, 6))
+                polys.append([np.array(
+                    [[0, y0], [10, y0], [10, y0 + 1], [0, y0 + 1],
+                     [0, y0]], float)])
+        elif kind == 4:
+            polys.append([np.array([[0, 0], [10, 0.001], [10, 0],
+                                    [0, 0]], float)])
+            ang = np.sort(rng.uniform(0, 2 * np.pi, 5))
+            polys.append([np.column_stack([5 + 4 * np.cos(ang),
+                                           2 + 4 * np.sin(ang)])])
+        else:
+            for _ in range(rng.integers(2, 5)):
+                pts = rng.uniform(0, 12, (4, 2))
+                polys.append([np.vstack([pts, pts[:1]])])
+        out = pc.union_many(polys)
+        xs = np.linspace(0.0137, 13.9871, 25)
+        X, Y = np.meshgrid(xs, xs)
+        px, py = X.ravel(), Y.ravel()
+        want = np.zeros(len(px), bool)
+        for p in polys:
+            want |= inside_eo(px, py, p)
+        assert np.array_equal(want, inside_eo(px, py, out)), (trial, kind)
