@@ -359,16 +359,20 @@ def polygon_self_intersects(rings: list[np.ndarray]) -> bool:
 
 
 def repair_polygon(rings: list[np.ndarray], lo: float, hi: float,
-                   grid: int = 512) -> list[np.ndarray]:
+                   grid: int = 512, method: str = "raster"
+                   ) -> list[np.ndarray]:
     """snapAndFixPolygon analog (GeoUtils.java:315-399) without GEOS:
 
     - valid input -> returned unchanged except orientation normalization
       (OrientationFixer: shells CCW, holes CW in tile coords);
-    - self-intersecting input (bowtie etc.) -> EVEN-ODD raster repair:
-      scanline-fill at `grid` resolution over [lo, hi) and re-trace with
-      marching squares (the same semantics JTS buffer(0) applies, at
-      sub-pixel precision — the geometry snaps to the 4096 grid next, so
+    - self-intersecting input (bowtie etc.) -> EVEN-ODD regularization.
+      method="raster" (default, the render-path choice): scanline-fill at
+      `grid` resolution over [lo, hi) and re-trace with marching squares
+      (sub-pixel precision — the geometry snaps to the 4096 grid next, so
       the raster error is invisible; kernels/union.py rationale).
+      method="exact": kernels/polyclip even-odd regularization — the
+      literal semantics JTS buffer(0) applies (every output vertex an
+      input vertex or exact edge intersection; no grid).
     Returns [] when the repaired region is empty."""
     from . import union as un
 
@@ -382,6 +386,9 @@ def repair_polygon(rings: list[np.ndarray], lo: float, hi: float,
                 continue
             out.append(ensure_orientation(r, ccw=(i == 0)))
         return out
+    if method == "exact":
+        from . import polyclip as pcl
+        return pcl.union_many([list(rings)])
     mask = un.rasterize_rings([np.asarray(r, dtype=np.float64) for r in rings],
                               grid, lo, hi)
     return un.trace_contours(mask, lo, hi)

@@ -245,3 +245,18 @@ def test_polygon_centroid_honors_holes():
     # shell-only unchanged
     cx0, cy0 = g.polygon_centroid([shell])
     assert (cx0, cy0) == (2.0, 2.0)
+
+
+def test_repair_bowtie_exact():
+    """method="exact" = the literal JTS buffer(0) even-odd regularization:
+    the bowtie splits into two triangles meeting at the exact crossing
+    (2,2), total area exactly 8, shells CCW like the valid path."""
+    import numpy as np
+    from planetiler_spark.kernels import geom as gk
+    bowtie = np.array([[0, 0], [4, 0], [0, 4], [4, 4], [0, 0]], dtype=float)
+    fixed = gk.repair_polygon([bowtie], 0.0, 4.0, method="exact")
+    assert not gk.polygon_self_intersects(fixed)
+    assert sum(gk.ring_signed_area(r) for r in fixed) == 8.0
+    assert all(gk.ring_signed_area(r) > 0 for r in fixed)
+    pts = {tuple(p) for r in fixed for p in r}
+    assert (2.0, 2.0) in pts  # the exact self-intersection vertex
