@@ -388,10 +388,18 @@ def repair_polygon(rings: list[np.ndarray], lo: float, hi: float,
         return out
     if method == "exact":
         from . import polyclip as pcl
-        return pcl.union_many([list(rings)])
+        window = [np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi],
+                            [lo, lo]], dtype=np.float64)]
+        # clip to [lo, hi) like the raster fill does (same spatial domain
+        # on both methods)
+        return pcl.boolean_rings([list(rings)], [window], op="inter")
     mask = un.rasterize_rings([np.asarray(r, dtype=np.float64) for r in rings],
                               grid, lo, hi)
-    return un.trace_contours(mask, lo, hi)
+    # trace_contours emits shells CW/holes CCW (image-space convention);
+    # reverse to match the valid path's shells-CCW contract — the MVT
+    # winding every other producer path (slice_polygon, ensure_orientation)
+    # ships
+    return [r[::-1] for r in un.trace_contours(mask, lo, hi)]
 
 
 def point_on_surface(rings: list[np.ndarray]) -> tuple[float, float]:

@@ -608,48 +608,42 @@ def buffer_union_unbuffer(polys, d, quad_segs=8):
     return erode_rings(dilated, d, quad_segs=quad_segs)
 
 
-def _ring_area(r):
-    x, y = r[:, 0], r[:, 1]
-    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
-
-
-def _point_in_ring(px, py, r):
-    x1, y1 = r[:-1, 0], r[:-1, 1]
-    x2, y2 = r[1:, 0], r[1:, 1]
-    m = (y1 > py) != (y2 > py)
-    if not m.any():
-        return False
-    xi = x1[m] + (py - y1[m]) * (x2[m] - x1[m]) / (y2[m] - y1[m])
-    return bool(np.count_nonzero(px < xi) & 1)
-
-
 def drop_small_regions_exact(rings, min_area):
     """Drop whole regions (a CCW shell plus its CW holes) whose NET area is
     below min_area — the vector analog of union.drop_small_regions (and of
     FeatureMerge.extractPolygons' minArea filter, FeatureMerge.java:476)."""
+    from . import geom as gk
+
     if min_area <= 0 or not rings:
         return rings
-    shells = [(i, _ring_area(r)) for i, r in enumerate(rings)
-              if _ring_area(r) > 0]
-    holes = [(i, _ring_area(r)) for i, r in enumerate(rings)
-             if _ring_area(r) <= 0]
-    # assign each hole to the smallest shell containing a vertex of it
+    areas = [float(gk.ring_signed_area(r)) for r in rings]
+    shells = [(i, a) for i, a in enumerate(areas) if a > 0]
+    holes = [i for i, a in enumerate(areas) if a <= 0]
+    # assign each hole to the smallest shell containing one of its
+    # vertices (try several: a vertex can sit exactly on a shell edge)
     shell_holes = {i: [] for i, _ in shells}
-    for hi_, ha in holes:
-        px, py = rings[hi_][0]
+    unassigned = []
+    for hi_ in holes:
         best, best_area = None, None
-        for si, sa in shells:
-            if _point_in_ring(px, py, rings[si]):
-                if best is None or sa < best_area:
-                    best, best_area = si, sa
+        for px, py in rings[hi_][:-1][:8]:
+            for si, sa in shells:
+                if si != hi_ and bool(gk.points_in_polygon(
+                        np.array([px]), np.array([py]), [rings[si]])[0]):
+                    if best is None or sa < best_area:
+                        best, best_area = si, sa
+            if best is not None:
+                break
         if best is not None:
             shell_holes[best].append(hi_)
+        else:
+            unassigned.append(hi_)  # keep rather than silently fill
     out = []
     for si, sa in shells:
-        net = sa + sum(_ring_area(rings[h]) for h in shell_holes[si])
+        net = sa + sum(areas[h] for h in shell_holes[si])
         if net >= min_area:
             out.append(rings[si])
             out.extend(rings[h] for h in shell_holes[si])
+    out.extend(rings[h] for h in unassigned)
     return out
 
 
