@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--osm", default=None, metavar="PBF",
                     help="run the OSM flow instead: PBF -> profile -> tiles "
                          "-> <out>/tiles.mbtiles (the reference's headline job)")
+    ap.add_argument("--schema", default=None, metavar="YAML",
+                    help="drive the --osm flow from a ConfiguredProfile "
+                         "schema YAML instead of the built-in rules (the "
+                         "reference's generate-custom task)")
     ap.add_argument("--out", required=True, help="output dir (tiles parquet + status)")
     ap.add_argument("--minzoom", type=int, default=0)
     ap.add_argument("--maxzoom", type=int, default=10)
@@ -80,14 +84,21 @@ def main(argv=None):
     from planetiler_spark.operators import tile_pipeline as tp
     from planetiler_spark.sources import images as src
 
+    if args.schema and not args.osm:
+        ap.error("--schema requires --osm PBF (the schema's source input)")
     if args.osm:
         from planetiler_spark.plans import osm_pipeline as op
         from planetiler_spark.sources import archives as ar
         t0 = time.time()
         os.makedirs(args.out, exist_ok=True)
+        schema = None
+        if args.schema:
+            from planetiler_spark.plans import profile as prof
+            with open(args.schema) as f:
+                schema = prof.parse_schema(f.read())
         tiles, meta = op.osm_tileset(spark, args.osm, args.minzoom,
                                      args.maxzoom, partitions=sp,
-                                     with_metadata=True)
+                                     schema=schema, with_metadata=True)
         tiles = tiles.cache()
         mb = os.path.join(args.out, "tiles.mbtiles")
         ar.write_mbtiles(tiles, mb, metadata=meta)
