@@ -46,9 +46,15 @@ def _top_osm_tiles(argv):
     return cli_tools.top_osm_tiles_main(argv)
 
 
+def _example_toilets(argv):
+    from .examples import toilets_overlay
+    return toilets_overlay.main(argv)
+
+
 ENTRY_POINTS = {
     "generate-custom": _custom,
     "custom": _custom,
+    "example-toilets": _example_toilets,
     "verify": _verify_schema,
     "verify-custom": _verify_schema,
     "verify-schema": _verify_schema,
