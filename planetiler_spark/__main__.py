@@ -51,10 +51,16 @@ def _example_toilets(argv):
     return toilets_overlay.main(argv)
 
 
+def _example_bikeroutes(argv):
+    from .examples import bike_route_overlay
+    return bike_route_overlay.main(argv)
+
+
 ENTRY_POINTS = {
     "generate-custom": _custom,
     "custom": _custom,
     "example-toilets": _example_toilets,
+    "example-bikeroutes": _example_bikeroutes,
     "verify": _verify_schema,
     "verify-custom": _verify_schema,
     "verify-schema": _verify_schema,

@@ -141,17 +141,104 @@ def _key(pt: np.ndarray, grid: float) -> tuple[int, int]:
     return (int(round(pt[0] / grid)), int(round(pt[1] / grid)))
 
 
+def _norm_angle(a: float) -> float:
+    """JTS Angle.normalize: wrap to (-pi, pi]."""
+    import math
+    while a > math.pi:
+        a -= 2 * math.pi
+    while a <= -math.pi:
+        a += 2 * math.pi
+    return a
+
+
+def _stroke_merge(chains: list, grid: float) -> list:
+    """LoopLineMerger.strokeMerge:201-229 + the follow-up degree-two merge:
+    at every node, pair incident chain ends greedily by LARGEST angular
+    difference of their outgoing directions (the straightest continuation
+    pairs first), then stitch paired chains into longer strokes. chains =
+    [(first_idx, coords)] -> same shape."""
+    import math
+
+    ends: dict = {}
+    for i, (_, c) in enumerate(chains):
+        ends.setdefault(_key(c[0], grid), []).append((i, 0))
+        ends.setdefault(_key(c[-1], grid), []).append((i, 1))
+    pair: dict = {}
+    for k in sorted(ends):
+        inc = [e for e in ends[k] if e not in pair]
+        if len(inc) < 2:
+            continue
+        dirs = []
+        for (i, e) in inc:
+            c = chains[i][1]
+            p0, p1 = (c[0], c[1]) if e == 0 else (c[-1], c[-2])
+            dirs.append(math.atan2(p1[1] - p0[1], p1[0] - p0[0]))
+        cand = []
+        for x in range(len(inc)):
+            for y in range(x + 1, len(inc)):
+                if inc[x][0] == inc[y][0]:
+                    continue  # both ends of one chain (Edge vs its reversed)
+                cand.append((abs(_norm_angle(dirs[x] - dirs[y])), x, y))
+        cand.sort(key=lambda t: (t[0], t[1], t[2]))
+        taken: set = set()
+        for _d, x, y in reversed(cand):
+            if x in taken or y in taken:
+                continue
+            taken.update((x, y))
+            pair[inc[x]] = inc[y]
+            pair[inc[y]] = inc[x]
+
+    visited = [False] * len(chains)
+    out = []
+
+    def walk(start):
+        i0, e0 = start
+        coords = None
+        idx_min = chains[i0][0]
+        cur = start
+        while True:
+            ci, ce = cur
+            if visited[ci]:
+                break  # closed a cycle
+            visited[ci] = True
+            c = chains[ci][1]
+            piece = c if ce == 0 else c[::-1]
+            idx_min = min(idx_min, chains[ci][0])
+            coords = piece if coords is None else np.vstack([coords, piece[1:]])
+            nxt = pair.get((ci, 1 - ce))
+            if nxt is None:
+                break
+            cur = nxt
+        return idx_min, coords
+
+    for i in range(len(chains)):  # open strokes first (walk from free ends)
+        for e in (0, 1):
+            if not visited[i] and (i, e) not in pair:
+                out.append(walk((i, e)))
+    for i in range(len(chains)):  # remaining = pure cycles
+        if not visited[i]:
+            out.append(walk((i, 0)))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
 def merge_line_strings(lines: list[np.ndarray], min_length: float = 0.0,
                        stub_min_length: float = 0.0,
                        tolerance: float = -1.0,
-                       grid: float = 0.25) -> list[np.ndarray]:
+                       grid: float = 0.25,
+                       merge_strokes: bool = False) -> list[np.ndarray]:
     """Merge touching linestrings into maximal strokes:
       1. snap endpoints to a grid (tolerance precision, LoopLineMerger
          setTolerance:105 rounds to 1/16 px by default),
       2. repeatedly remove "stubs" — dangling edges shorter than
          stub_min_length whose free end has degree 1 (removeShortStubEdges),
       3. walk maximal degree-2 chains into merged strokes (mergeStrokes:124),
-      4. drop results shorter than min_length, DP-simplify if tolerance >= 0.
+      4. with merge_strokes, additionally continue THROUGH junction nodes
+         by pairing the straightest incident chains
+         (LoopLineMerger.strokeMerge:201-229; simplify runs before the
+         pairing and the min-length drop after, the reference's
+         getMergedLineStrings:403-416 order),
+      5. drop results shorter than min_length, DP-simplify if tolerance >= 0.
     Deterministic: edges and walks ordered by first-seen input index
     (output order = index of first element, FeatureMerge.java:91-99)."""
     edges = []  # (a_key, b_key, coords, idx)
@@ -215,10 +302,17 @@ def merge_line_strings(lines: list[np.ndarray], min_length: float = 0.0,
                 else:
                     chain = np.vstack([piece[::-1][:-1], chain])
                 cur_key = nxt_key
-        if gk.line_length(chain) >= min_length:
+        if merge_strokes:
+            out.append((first_idx, chain))
+        elif gk.line_length(chain) >= min_length:
             if tolerance >= 0:
                 chain = gk.simplify_dp(chain, tolerance)
             out.append((first_idx, chain))
+    if merge_strokes:
+        if tolerance >= 0:
+            out = [(i, gk.simplify_dp(c, tolerance)) for i, c in out]
+        out = _stroke_merge(out, grid)
+        out = [(i, c) for i, c in out if gk.line_length(c) >= min_length]
     out.sort(key=lambda t: t[0])
     return [c for _, c in out]
 

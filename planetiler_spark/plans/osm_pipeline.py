@@ -232,7 +232,12 @@ TILES_SCHEMA = ("tile_id long, zoom int, x int, y int, n_features long, "
 
 
 def encode_osm_tiles(frags: DataFrame, partitions: int | None = None,
-                     merge_lines: bool = True) -> DataFrame:
+                     merge_lines: bool = True,
+                     feature_per_stroke: bool = False,
+                     merge_min_length: float = 0.0,
+                     merge_tolerance: float = -1.0,
+                     merge_stub_min_length: float = 0.0,
+                     merge_strokes: bool = False) -> DataFrame:
     """Shuffle on the sort key, then consecutive-run multi-layer MVT encode.
 
     merge_lines applies the reference's per-tile line post-process
@@ -272,16 +277,32 @@ def encode_osm_tiles(frags: DataFrame, partitions: int | None = None,
             for (layer, attrs_s), (fid0, parts) in line_groups.items():
                 merged = lk.merge_line_strings(
                     [np.asarray(pp, dtype=np.float64) for pp in parts],
-                    grid=1.0)
+                    min_length=merge_min_length,
+                    stub_min_length=merge_stub_min_length,
+                    tolerance=merge_tolerance, grid=1.0,
+                    merge_strokes=merge_strokes)
                 if not merged:
                     continue
                 lb = layers.get(layer)
                 if lb is None:
                     lb = layers[layer] = mvt.LayerBuilder(layer)
-                cmds = mvt.encode_geometry(
-                    2, [np.rint(m).astype(np.int64) for m in merged])
-                lb.add_feature(fid0, 2, cmds, json.loads(attrs_s))
-                nfeat += 1
+                if feature_per_stroke:
+                    # FeatureMerge.mergeLineStrings emits each merged stroke
+                    # as its OWN feature (merge():91-99 returns one
+                    # VectorTile.Feature per merged geometry); the default
+                    # multiline-per-attr-group packs tighter but examples
+                    # that reproduce reference feature counts need this
+                    attrs = json.loads(attrs_s)
+                    for m in merged:
+                        cmds = mvt.encode_geometry(
+                            2, [np.rint(m).astype(np.int64)])
+                        lb.add_feature(fid0, 2, cmds, attrs)
+                        nfeat += 1
+                else:
+                    cmds = mvt.encode_geometry(
+                        2, [np.rint(m).astype(np.int64) for m in merged])
+                    lb.add_feature(fid0, 2, cmds, json.loads(attrs_s))
+                    nfeat += 1
             line_groups = {}
             blob = mvt.encode_tile(list(layers.values()))
             x, y, z = tm.tile_decode(np.int64(cur_tile))

