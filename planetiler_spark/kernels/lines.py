@@ -241,11 +241,47 @@ def merge_line_strings(lines: list[np.ndarray], min_length: float = 0.0,
       5. drop results shorter than min_length, DP-simplify if tolerance >= 0.
     Deterministic: edges and walks ordered by first-seen input index
     (output order = index of first element, FeatureMerge.java:91-99)."""
-    edges = []  # (a_key, b_key, coords, idx)
+    pieces = []
     for idx, ln in enumerate(lines):
         ln = np.asarray(ln, dtype=np.float64)
         if len(ln) < 2:
             continue
+        pieces.append((ln, idx))
+
+    if merge_strokes:
+        # nodeLines (LoopLineMerger:473-510): count every snapped vertex
+        # across ALL lines, then split each line at interior vertices that
+        # appear more than once — junctions at mid-line vertices become
+        # real nodes the stroke pairing can merge through
+        counts: dict = {}
+        for ln, _ in pieces:
+            for p in ln:
+                k = _key(p, grid)
+                counts[k] = counts.get(k, 0) + 1
+        noded = []
+        for ln, idx in pieces:
+            start = 0
+            for i in range(1, len(ln) - 1):
+                if counts.get(_key(ln[i], grid), 0) > 1:
+                    noded.append((ln[start:i + 1], idx))
+                    start = i
+            if len(ln) - start >= 2:
+                noded.append((ln[start:], idx))
+        # removeDuplicatedEdges (LoopLineMerger:439-465): identical pieces
+        # (same snapped coordinate sequence, either direction) collapse —
+        # an out-and-back route contributes its shared segment once
+        seen: set = set()
+        deduped = []
+        for ln, idx in noded:
+            kf = tuple(_key(p, grid) for p in ln)
+            if kf in seen or kf[::-1] in seen:
+                continue
+            seen.add(kf)
+            deduped.append((ln, idx))
+        pieces = deduped
+
+    edges = []  # (a_key, b_key, coords, idx)
+    for ln, idx in pieces:
         edges.append([_key(ln[0], grid), _key(ln[-1], grid), ln, idx])
 
     # iterative stub removal
