@@ -56,11 +56,18 @@ def _example_bikeroutes(argv):
     return bike_route_overlay.main(argv)
 
 
+def _osm_qa(argv):
+    from .examples import osm_qa_tiles
+    return osm_qa_tiles.main(argv)
+
+
 ENTRY_POINTS = {
     "generate-custom": _custom,
     "custom": _custom,
     "example-toilets": _example_toilets,
     "example-bikeroutes": _example_bikeroutes,
+    "example-qa": _osm_qa,
+    "osm-qa": _osm_qa,
     "verify": _verify_schema,
     "verify-custom": _verify_schema,
     "verify-schema": _verify_schema,

@@ -42,7 +42,7 @@ RELATION = 2
 ENTITY_SCHEMA = (
     "etype int, id long, lon double, lat double, tags map<string,string>, "
     "refs array<long>, member_ids array<long>, member_types array<int>, "
-    "member_roles array<string>")
+    "member_roles array<string>, version int")
 
 
 # --- vectorized packed-varint decoding --------------------------------------
@@ -251,10 +251,11 @@ def decode_block(data: bytes) -> dict:
             lon_off = val
 
     rows = {k: [] for k in ("etype", "id", "lon", "lat", "tags", "refs",
-                            "member_ids", "member_types", "member_roles")}
+                            "member_ids", "member_types", "member_roles",
+                            "version")}
 
     def emit(etype, eid, lon=None, lat=None, tags=None, refs=None,
-             mids=None, mtypes=None, mroles=None):
+             mids=None, mtypes=None, mroles=None, version=None):
         rows["etype"].append(etype)
         rows["id"].append(eid)
         rows["lon"].append(lon)
@@ -264,15 +265,21 @@ def decode_block(data: bytes) -> dict:
         rows["member_ids"].append(mids)
         rows["member_types"].append(mtypes)
         rows["member_roles"].append(mroles)
+        rows["version"].append(version)
 
     for group in groups:
         for field, wire, val in _fields(group):
             if field == 2:  # DenseNodes — the vectorized bulk path
                 ids = lats = lons = None
                 kv = None
+                versions = None
                 for f2, w2, v2 in _fields(val):
                     if f2 == 1:
                         ids = delta_sint64(v2)
+                    elif f2 == 5:  # DenseInfo: packed versions (field 1,
+                        for f3, w3, v3 in _fields(v2):  # NOT delta-coded)
+                            if f3 == 1:
+                                versions = decode_packed_varints(v3)
                     elif f2 == 8:
                         lats = delta_sint64(v2)
                     elif f2 == 9:
@@ -285,7 +292,9 @@ def decode_block(data: bytes) -> dict:
                 tag_lists = _dense_tags(kv, strings, len(ids))
                 for i in range(len(ids)):
                     emit(NODE, int(ids[i]), float(lon_deg[i]),
-                         float(lat_deg[i]), tag_lists[i])
+                         float(lat_deg[i]), tag_lists[i],
+                         version=None if versions is None
+                         else int(versions[i]))
             elif field == 1:  # plain Node (rare; dense is the norm)
                 nid = lat = lon = 0
                 keys = vals = ()
@@ -308,6 +317,7 @@ def decode_block(data: bytes) -> dict:
                 wid = 0
                 keys = vals = ()
                 refs = None
+                ver = None
                 for f2, w2, v2 in _fields(val):
                     if f2 == 1:
                         wid = v2
@@ -315,16 +325,22 @@ def decode_block(data: bytes) -> dict:
                         keys = decode_packed_varints(v2)
                     elif f2 == 3:
                         vals = decode_packed_varints(v2)
+                    elif f2 == 4:  # Info: version (field 1)
+                        for f3, w3, v3 in _fields(v2):
+                            if f3 == 1:
+                                ver = int(v3)
                     elif f2 == 8:
                         refs = delta_sint64(v2)
                 tags = {strings[int(k)]: strings[int(v)]
                         for k, v in zip(keys, vals)}
                 emit(WAY, wid, tags=tags,
-                     refs=[] if refs is None else [int(r) for r in refs])
+                     refs=[] if refs is None else [int(r) for r in refs],
+                     version=ver)
             elif field == 4:  # Relation
                 rid = 0
                 keys = vals = roles = types = ()
                 mids = None
+                ver = None
                 for f2, w2, v2 in _fields(val):
                     if f2 == 1:
                         rid = v2
@@ -332,6 +348,10 @@ def decode_block(data: bytes) -> dict:
                         keys = decode_packed_varints(v2)
                     elif f2 == 3:
                         vals = decode_packed_varints(v2)
+                    elif f2 == 4:  # Info: version (field 1)
+                        for f3, w3, v3 in _fields(v2):
+                            if f3 == 1:
+                                ver = int(v3)
                     elif f2 == 8:
                         roles = decode_packed_varints(v2)
                     elif f2 == 9:
@@ -343,7 +363,8 @@ def decode_block(data: bytes) -> dict:
                 emit(RELATION, rid, tags=tags,
                      mids=[] if mids is None else [int(m) for m in mids],
                      mtypes=[int(t) for t in types],
-                     mroles=[strings[int(r)] for r in roles])
+                     mroles=[strings[int(r)] for r in roles],
+                     version=ver)
     return rows
 
 

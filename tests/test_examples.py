@@ -100,3 +100,30 @@ def test_stroke_merge_pairs_straightest():
          np.array([[5, 8], [0, 0]], float)]
     out = lk.merge_line_strings(T, grid=0.25, merge_strokes=True)
     assert len(out) == 1 and len(out[0]) == 4
+
+
+def test_osm_qa_tiles_golden_element(spark, tmp_path):
+    """OsmQaTilesTest:100-110: the monaco build carries node 1699777833
+    (bus stop Crémaillère) at z12 exactly once, as a point, with all its
+    tags plus @id/@type/@version metadata (@version=4 comes from the PBF
+    DenseInfo block the reader now parses). Values are stringified — the
+    unified schema carries attrs as map<string,string>."""
+    from planetiler_spark.examples import osm_qa_tiles as ex
+    from planetiler_spark.kernels import mvt
+    from planetiler_spark.sources import archives as ar
+
+    out = ex.build(spark, MONACO, str(tmp_path), partitions=8)
+    tiles = ar.read_mbtiles(out["archive"])
+    found = []
+    for (z, x, y), blob in tiles.items():
+        assert z == 12  # single-zoom output
+        for f in mvt.decode_tile(bytes(blob)).get("osm", []):
+            if f["attrs"].get("@id") == "1699777833":
+                found.append((z, f["type"], f["attrs"]))
+    assert len(found) == 1
+    z, ftype, attrs = found[0]
+    assert ftype == 1  # point
+    assert attrs == {"@id": "1699777833", "@type": "node", "@version": "4",
+                     "bus": "yes", "name": "Crémaillère",
+                     "public_transport": "stop_position"}
+    assert out["n_features"] > 4000  # every tagged monaco element present
