@@ -61,6 +61,11 @@ def _osm_qa(argv):
     return osm_qa_tiles.main(argv)
 
 
+def _verify_monaco(argv):
+    from .plans import cli_tools
+    return cli_tools.verify_monaco_main(argv)
+
+
 ENTRY_POINTS = {
     "generate-custom": _custom,
     "custom": _custom,
@@ -72,6 +77,7 @@ ENTRY_POINTS = {
     "verify-custom": _verify_schema,
     "verify-schema": _verify_schema,
     "verify-mbtiles": _verify_mbtiles,
+    "verify-monaco": _verify_monaco,
     "stats": _stats,
     "top-osm-tiles": _top_osm_tiles,
     "compare": _compare,

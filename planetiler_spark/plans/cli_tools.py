@@ -256,3 +256,73 @@ def top_osm_tiles_main(argv=None) -> int:
     stac.write_tile_weights(args.output, weights)
     print(f"wrote {len(weights)} weights to {args.output}")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# verify-monaco (custommap/util/VerifyMonaco.java:24-35 — per-layer/zoom
+# minimum feature counts over a monaco build; the reference's checks name
+# openmaptiles-schema layers, these name the built-in profile's layers)
+# ---------------------------------------------------------------------------
+
+MONACO_BOUNDS = (7.40921, 43.72335, 7.44864, 43.75169)  # lon/lat envelope
+
+# (layer, minzoom, maxzoom, min feature count, MVT geom type or None).
+# Zoom floors reflect where the built-in profile's features actually
+# survive min-pixel-size (monaco water polygons collapse below z7).
+MONACO_CHECKS = [
+    ("building", 13, 14, 100, 3),
+    ("road", 10, 14, 5, 2),
+    ("water", 7, 14, 1, 3),
+    ("poi", 14, 14, 1, 1),
+]
+
+
+def _tile_envelope(z, x, y):
+    import math
+    n = 1 << z
+
+    def lat(yy):
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yy / n))))
+    return (x / n * 360.0 - 180.0, lat(y + 1),
+            (x + 1) / n * 360.0 - 180.0, lat(y))
+
+
+def verify_monaco(path: str, checks=None) -> list[tuple[str, bool, str]]:
+    from ..kernels import mvt
+
+    checks = checks or MONACO_CHECKS
+    tiles = _read_archive(path)
+    w, s, e, n = MONACO_BOUNDS
+    counts: dict = {}
+    for (z, x, y), blob in tiles.items():
+        tw, ts, te, tn = _tile_envelope(z, x, y)
+        if te < w or tw > e or tn < s or ts > n:
+            continue  # tile outside the monaco envelope
+        for lname, feats in mvt.decode_tile(bytes(blob)).items():
+            for f in feats:
+                counts[(lname, z, f["type"])] = \
+                    counts.get((lname, z, f["type"]), 0) + 1
+    out = []
+    for layer, z0, z1, min_count, gtype in checks:
+        for z in range(z0, z1 + 1):
+            got = sum(v for (ln, zz, t), v in counts.items()
+                      if ln == layer and zz == z and
+                      (gtype is None or t == gtype))
+            out.append((f"at least {min_count} {layer} features at z{z}",
+                        got >= min_count, f"{got} features"))
+    return out
+
+
+def verify_monaco_main(argv=None) -> int:
+    import argparse
+    ap = argparse.ArgumentParser(
+        prog="verify-monaco",
+        description="check a monaco build for minimum per-layer feature "
+                    "counts (the reference's verify-monaco)")
+    ap.add_argument("archive")
+    args = ap.parse_args(argv)
+    ok = True
+    for name, passed, detail in verify_monaco(args.archive):
+        print(f"{'PASS' if passed else 'FAIL'}  {name}: {detail}")
+        ok &= passed
+    return 0 if ok else 1

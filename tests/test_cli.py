@@ -160,3 +160,25 @@ def test_bare_yaml_routes_to_custom(tmp_path, capsys, monkeypatch):
     with pytest.raises(SystemExit):
         main([str(schema), "--out", str(tmp_path / "o")])
     assert "--schema requires --osm" in capsys.readouterr().err
+
+
+MONACO = ("/root/reference/planetiler-core/src/test/resources/"
+          "monaco-latest.osm.pbf")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(MONACO),
+                    reason="reference monaco fixture absent")
+def test_verify_monaco_on_default_build(spark, tmp_path, capsys):
+    """verify-monaco (VerifyMonaco.java:24-35 analog): a full built-in
+    profile monaco build clears every per-layer minimum."""
+    from planetiler_spark.plans import osm_pipeline as op
+    from planetiler_spark.sources import archives as ar
+
+    tiles, meta = op.osm_tileset(spark, MONACO, 0, 14, partitions=8,
+                                 with_metadata=True)
+    mb = str(tmp_path / "monaco.mbtiles")
+    ar.write_mbtiles(tiles, mb, meta)
+    assert main(["verify-monaco", mb]) == 0
+    out = capsys.readouterr().out
+    assert "FAIL" not in out
+    assert out.count("PASS") >= 15
