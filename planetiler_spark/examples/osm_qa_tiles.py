@@ -40,7 +40,12 @@ def qa_features(spark: SparkSession, pbf: str,
             F.lit("@id"), F.col("id").cast("string"),
             F.lit("@type"), F.lit(etype_name),
             F.lit("@version"), F.col("version").cast("string"))
-        return df.withColumn("attrs", F.map_concat(F.col("tags"), base))
+        # strip literal @-keys from the tags first: metadata wins, and
+        # map_concat raises DUPLICATE_MAP_KEY otherwise
+        clean = F.map_filter(
+            F.col("tags"),
+            lambda k, v: ~k.isin("@id", "@type", "@version"))
+        return df.withColumn("attrs", F.map_concat(clean, base))
 
     def rows(df, kind, lons_col, lats_col):
         return df.select(
@@ -57,13 +62,18 @@ def qa_features(spark: SparkSession, pbf: str,
                      F.element_at("refs", -1)).alias("closed"))
             .join(geoms.withColumnRenamed("way_id", "id"), "id"))
     ways = with_meta(ways, "way")
-    # canBePolygon (OsmReader.canBePolygon): closed + an area-ish tag
-    areaish = F.lit(False)
+    # canBePolygon (OsmReader.canBePolygon): closed + an area-ish tag,
+    # with area=yes forcing polygon and area=no forcing line. Every
+    # term is null-coalesced so closed non-area ways stay lines (SQL
+    # three-valued logic would otherwise drop them from BOTH filters).
+    has_area_key = F.lit(False)
     for k in _AREA_KEYS:
-        areaish = areaish | F.col("tags")[k].isNotNull()
-    areaish = (F.col("tags")["area"] == "yes") | areaish
-    polys = ways.filter(F.col("closed") & areaish)
-    lines = ways.filter(~(F.col("closed") & areaish))
+        has_area_key = has_area_key | F.col("tags")[k].isNotNull()
+    area_yes = F.coalesce(F.col("tags")["area"] == "yes", F.lit(False))
+    area_no = F.coalesce(F.col("tags")["area"] == "no", F.lit(False))
+    can_poly = F.col("closed") & ~area_no & (area_yes | has_area_key)
+    polys = ways.filter(can_poly)
+    lines = ways.filter(~can_poly)
 
     mp = (ents.filter("etype = 2").filter(tagged)
           .filter(F.col("tags")["type"] == "multipolygon")

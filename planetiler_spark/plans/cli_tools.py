@@ -47,8 +47,10 @@ def _archive_metadata(path: str) -> dict:
     if path.endswith(".pmtiles"):
         with open(path, "rb") as f:
             head = f.read(127)
-            json_off = int.from_bytes(head[56:64], "little")
-            json_len = int.from_bytes(head[64:72], "little")
+            # spec v3 header: json metadata offset/length at bytes 24/32
+            # (archives.py:276 writes the same layout)
+            json_off = int.from_bytes(head[24:32], "little")
+            json_len = int.from_bytes(head[32:40], "little")
             f.seek(json_off)
             blob = f.read(json_len)
         if blob[:2] == b"\x1f\x8b":
@@ -278,13 +280,10 @@ MONACO_CHECKS = [
 
 
 def _tile_envelope(z, x, y):
-    import math
-    n = 1 << z
-
-    def lat(yy):
-        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yy / n))))
-    return (x / n * 360.0 - 180.0, lat(y + 1),
-            (x + 1) / n * 360.0 - 180.0, lat(y))
+    from ..kernels import tile_math as tm
+    wx0, wy0, wx1, wy1 = tm.tile_bounds_world(x, y, z)
+    return (float(tm.get_world_lon(wx0)), float(tm.get_world_lat(wy1)),
+            float(tm.get_world_lon(wx1)), float(tm.get_world_lat(wy0)))
 
 
 def verify_monaco(path: str, checks=None) -> list[tuple[str, bool, str]]:

@@ -60,6 +60,15 @@ def main(argv=None):
     ap.add_argument("--progress-interval", type=float, default=10.0)
     args = ap.parse_args(argv)
 
+    if args.schema and not args.osm:
+        ap.error("--schema requires --osm PBF (the schema's source input)")
+    schema = None
+    if args.schema:
+        # parse (and fail on) the schema BEFORE paying the JVM start
+        from planetiler_spark.plans import profile as prof
+        with open(args.schema) as f:
+            schema = prof.parse_schema(f.read())
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -84,18 +93,11 @@ def main(argv=None):
     from planetiler_spark.operators import tile_pipeline as tp
     from planetiler_spark.sources import images as src
 
-    if args.schema and not args.osm:
-        ap.error("--schema requires --osm PBF (the schema's source input)")
     if args.osm:
         from planetiler_spark.plans import osm_pipeline as op
         from planetiler_spark.sources import archives as ar
         t0 = time.time()
         os.makedirs(args.out, exist_ok=True)
-        schema = None
-        if args.schema:
-            from planetiler_spark.plans import profile as prof
-            with open(args.schema) as f:
-                schema = prof.parse_schema(f.read())
         tiles, meta = op.osm_tileset(spark, args.osm, args.minzoom,
                                      args.maxzoom, partitions=sp,
                                      schema=schema, with_metadata=True)

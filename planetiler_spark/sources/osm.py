@@ -298,6 +298,7 @@ def decode_block(data: bytes) -> dict:
             elif field == 1:  # plain Node (rare; dense is the norm)
                 nid = lat = lon = 0
                 keys = vals = ()
+                ver = None
                 for f2, w2, v2 in _fields(val):
                     if f2 == 1:
                         nid = _zz(v2)
@@ -305,6 +306,10 @@ def decode_block(data: bytes) -> dict:
                         keys = decode_packed_varints(v2)
                     elif f2 == 3:
                         vals = decode_packed_varints(v2)
+                    elif f2 == 4:  # Info: version (field 1)
+                        for f3, w3, v3 in _fields(v2):
+                            if f3 == 1:
+                                ver = int(v3)
                     elif f2 == 8:
                         lat = _zz(v2)
                     elif f2 == 9:
@@ -312,7 +317,8 @@ def decode_block(data: bytes) -> dict:
                 tags = {strings[int(k)]: strings[int(v)]
                         for k, v in zip(keys, vals)}
                 emit(NODE, nid, (lon_off + granularity * lon) * 1e-9,
-                     (lat_off + granularity * lat) * 1e-9, tags)
+                     (lat_off + granularity * lat) * 1e-9, tags,
+                     version=ver)
             elif field == 3:  # Way
                 wid = 0
                 keys = vals = ()

@@ -54,10 +54,15 @@ def test_registry_matches_reference_tasks():
 
 
 def test_verify_archive_passes(archive, capsys):
-    mb, _pm = archive
+    mb, pm = archive
     assert main(["verify-mbtiles", mb, "--min-features", "10"]) == 0
     out = capsys.readouterr().out
     assert "PASS  metadata has name" in out
+    assert "FAIL" not in out
+    # pmtiles too: metadata comes from the spec's bytes-24/32 json section
+    assert main(["verify-mbtiles", pm, "--min-features", "10"]) == 0
+    out = capsys.readouterr().out
+    assert "PASS  metadata has name: 'cli-test'" in out
     assert "FAIL" not in out
 
 
