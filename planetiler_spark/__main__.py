@@ -61,6 +61,11 @@ def _osm_qa(argv):
     return osm_qa_tiles.main(argv)
 
 
+def _example_overture(argv):
+    from .examples import overture_basemap
+    return overture_basemap.main(argv)
+
+
 def _verify_monaco(argv):
     from .plans import cli_tools
     return cli_tools.verify_monaco_main(argv)
@@ -73,6 +78,8 @@ ENTRY_POINTS = {
     "example-bikeroutes": _example_bikeroutes,
     "example-qa": _osm_qa,
     "osm-qa": _osm_qa,
+    "example-overture": _example_overture,
+    "overture": _example_overture,
     "verify": _verify_schema,
     "verify-custom": _verify_schema,
     "verify-schema": _verify_schema,

@@ -399,31 +399,43 @@ def assemble_multipolygon(ways: list[np.ndarray], grid: float = 1e-9
     # 2-3. closed rings only, sorted by |area| desc (sortPolygonsByAreaDescending)
     rings = [r for r in rings if abs(gk.ring_signed_area(r)) > 0]
     rings.sort(key=lambda r: -abs(gk.ring_signed_area(r)))
-    # 4. nesting by containment parity
+    # 4. nesting by containment parity. The tests run on TRANSLATED copies:
+    # containment is translation-invariant, and the raw shoelace centroid
+    # cancels catastrophically for building-sized rings at world
+    # coordinates (error ~ ring size for a 1e-6 ring at x~0.5), which
+    # mis-nested holes as separate shells.
+    if rings:
+        off = rings[0][0].copy()
+        local = [r - off for r in rings]
+    else:
+        local = []
     polys: list[list[np.ndarray]] = []
+    shell_local: list[np.ndarray] = []  # translated shell per polys entry
     ring_depth: list[int] = []
-    for r in rings:
-        cx, cy = gk.ring_centroid(r)
+    for ri, r in enumerate(rings):
+        cx, cy = gk.ring_centroid(local[ri])
         depth = 0
-        parent = -1
         for j in range(len(rings)):
             other = rings[j]
             if other is r or abs(gk.ring_signed_area(other)) <= abs(gk.ring_signed_area(r)):
                 continue
-            if gk.points_in_polygon(np.array([cx]), np.array([cy]), [other])[0]:
+            if gk.points_in_polygon(np.array([cx]), np.array([cy]),
+                                    [local[j]])[0]:
                 depth += 1
         if depth % 2 == 0:
             polys.append([r])
+            shell_local.append(local[ri])
             ring_depth.append(depth)
         else:
             # hole: attach to the most recent shell that contains it
             attached = False
-            for p in reversed(polys):
-                shell = p[0]
-                if gk.points_in_polygon(np.array([cx]), np.array([cy]), [shell])[0]:
-                    p.append(r)
+            for pi in range(len(polys) - 1, -1, -1):
+                if gk.points_in_polygon(np.array([cx]), np.array([cy]),
+                                        [shell_local[pi]])[0]:
+                    polys[pi].append(r)
                     attached = True
                     break
             if not attached:
                 polys.append([r])
+                shell_local.append(local[ri])
     return polys

@@ -127,3 +127,64 @@ def test_osm_qa_tiles_golden_element(spark, tmp_path):
                      "bus": "yes", "name": "Crémaillère",
                      "public_transport": "stop_position"}
     assert out["n_features"] > 4000  # every tagged monaco element present
+
+
+def test_overture_basemap_buildings(spark, tmp_path):
+    """OvertureBasemap semantics (OvertureBasemap.java:16-26): buildings
+    GeoParquet -> polygon layer `building` z13-14 with inherited
+    height/roof_color attrs, PMTiles output. A donut building keeps its
+    hole (this exercised a real bug: the multipolygon nesting containment
+    ran on raw world coordinates, where the shoelace centroid of a
+    building-sized ring cancels catastrophically)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_spark.examples import overture_basemap as ex
+    from planetiler_spark.kernels import mvt
+    from planetiler_spark.sources import archives as ar
+
+    def wkb_polygon(rings):
+        out = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", len(rings))
+        for r in rings:
+            out += struct.pack("<I", len(r)) + np.asarray(r, "<f8").tobytes()
+        return out
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(12):
+        lon = 7.41 + rng.uniform(0, 0.03)
+        lat = 43.725 + rng.uniform(0, 0.02)
+        w, h = 0.0003, 0.0002
+        ring = [[lon, lat], [lon + w, lat], [lon + w, lat + h],
+                [lon, lat + h], [lon, lat]]
+        rows.append((i, wkb_polygon([ring]), float(rng.integers(3, 60)),
+                     "#a08060", lon, lat, lon + w, lat + h))
+    lon, lat, w = 7.42, 43.73, 0.001
+    outer = [[lon, lat], [lon + w, lat], [lon + w, lat + w],
+             [lon, lat + w], [lon, lat]]
+    inner = [[lon + w * .3, lat + w * .3], [lon + w * .7, lat + w * .3],
+             [lon + w * .7, lat + w * .7], [lon + w * .3, lat + w * .7],
+             [lon + w * .3, lat + w * .3]]
+    rows.append((100, wkb_polygon([outer, inner]), 25.0, None,
+                 lon, lat, lon + w, lat + w))
+    pdf = pd.DataFrame(rows, columns=["id", "geometry", "height",
+                                      "roof_color", "minx", "miny",
+                                      "maxx", "maxy"])
+    src = str(tmp_path / "buildings.parquet")
+    pdf.to_parquet(src)
+
+    out = ex.build(spark, src, str(tmp_path), partitions=8)
+    tiles = ar.read_pmtiles(out["archive"])
+    total, max_rings, heights = 0, 0, set()
+    for (z, x, y), blob in tiles.items():
+        assert z in (13, 14)
+        for f in mvt.decode_tile(bytes(blob)).get("building", []):
+            total += 1
+            max_rings = max(max_rings, len(f["geometry"]))
+            if "height" in f["attrs"]:
+                heights.add(f["attrs"]["height"])
+    assert total >= 13 * 2  # every building at both zooms (+ buffer dupes)
+    assert max_rings == 2   # the donut keeps its hole
+    assert "25.0" in heights
